@@ -1,0 +1,271 @@
+"""Typed configuration system.
+
+Replaces the reference's two-headed OmegaConf YAML + HF ``TrainingArguments``
+spine (reference: ``proj_conf/dense.yaml``, ``colbert/utils/dense_conf.py:26-29``,
+``proj_conf/training_arguments.py``) with plain dataclasses that load from a
+single YAML file and validate eagerly.  No hardcoded absolute paths (a
+portability bug in the reference, ``dense_conf.py:6-21``); everything is
+relative to a user-supplied workspace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import yaml
+
+
+def _from_dict(cls, data: Dict[str, Any]):
+    """Recursively build a dataclass from a nested dict, validating keys."""
+    if data is None:
+        return cls()
+    field_map = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(field_map)
+    if unknown:
+        raise ValueError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    kwargs = {}
+    for name, value in data.items():
+        ftype = field_map[name].type
+        target = _DATACLASS_FIELDS.get((cls, name))
+        if target is not None and isinstance(value, dict):
+            kwargs[name] = _from_dict(target, value)
+        else:
+            kwargs[name] = value
+        del ftype
+    return cls(**kwargs)
+
+
+@dataclass
+class ModelConfig:
+    """BERT encoder hyper-parameters (reference: ``chinese-bert-wwm-ext`` /
+    ``macbert_large``, resolved via ``dense_conf.py:6-12``)."""
+
+    vocab_size: int = 21128           # bert-base-chinese vocab
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    # ColBERT projection head (reference: bias-free Linear(hidden, dim),
+    # colbert_model.py:49)
+    dim: int = 768
+    # compute dtype for the encoder under jit; params stay fp32
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class MultiviewConfig:
+    """Multi-view document representations (ACL'22 MVR variant).
+
+    Reference: ``dense.yaml:29-32`` (enabled, q_view=16, d_view=16);
+    semantics in ``BaseModel.py:21-27`` (slice first ``view_num`` positions)
+    and ``tokenizers.py:42-63`` (distinct ``[unusedN]`` marker tokens, only
+    view positions are scored).
+    """
+
+    enabled: bool = True
+    q_view: int = 16
+    d_view: int = 16
+
+
+@dataclass
+class TokenizerConfig:
+    """Reference: ``tokenizers.py``; lengths from ``dense.yaml:6-7``."""
+
+    vocab_path: str = ""              # path to a BERT vocab.txt (required at runtime)
+    query_maxlen: int = 32
+    doc_maxlen: int = 384
+    ce_maxlen: int = 384
+    do_lower_case: bool = True
+
+
+@dataclass
+class TrainConfig:
+    """Retriever training operating point (reference: ``eval.sh:12-19``,
+    ``dense.yaml:4``: lr 3e-5, per-device batch 34, 20 epochs, T=0.05)."""
+
+    learning_rate: float = 3e-5
+    weight_decay: float = 0.01
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    warmup_ratio: float = 0.0
+    max_grad_norm: float = 1.0
+    per_device_batch_size: int = 34
+    num_epochs: int = 20
+    score_temperature: float = 0.05
+    seed: int = 1234
+    # sampling (reference: colbert_model.py:56-77)
+    train_num_positives: int = 1
+    train_num_negatives: int = 1
+    train_negative_pool: int = 50
+    eval_num_positives: int = 2
+    eval_num_negatives: int = 8
+    # evaluation / checkpoint cadence: twice per epoch
+    # (reference: mytrainer_callbacks.py:31-35)
+    evals_per_epoch: int = 2
+    checkpoint_dir: str = "checkpoints/colbert"
+    keep_checkpoints: int = 20
+    log_every: int = 50
+
+
+@dataclass
+class CETrainConfig:
+    """Cross-encoder reranker (reference: ``dense.yaml:40-52``, ``eval.sh:43-50``)."""
+
+    learning_rate: float = 1e-5
+    weight_decay: float = 0.01
+    per_device_batch_size: int = 4
+    num_epochs: int = 5
+    score_temperature: float = 1.0
+    neg_num: int = 4
+    neg_pool_lo: int = 5              # train negs sampled from hard_negatives[5:50]
+    neg_pool_hi: int = 50
+    eval_topk: int = 100              # rerank top-100 (ce_test_args.eval_topk)
+    max_grad_norm: float = 1.0
+    seed: int = 1234
+    checkpoint_dir: str = "checkpoints/ce"
+
+
+@dataclass
+class IndexConfig:
+    """IVF-PQ index build (reference: ``dense.yaml:25-28``,
+    ``faiss_indexers.py:279-286``)."""
+
+    index_path: str = "index/colbert"
+    # PQ: m sub-quantizers x 2^nbits codes (64 B / token-vector at defaults)
+    pq_m: int = 64
+    pq_nbits: int = 8
+    # IVF partitions; 0 = auto: 1 << round(log2(8 * sqrt(num_embeddings)))
+    partitions: int = 0
+    # corpus encode
+    encode_batch_size: int = 384
+    num_parts: int = 12               # on-disk shards (reference: encoder.py:41)
+    # k-means
+    kmeans_iters: int = 20
+    pq_kmeans_iters: int = 25
+    train_sample_parts: int = 3       # PQ/IVF trained on parts 0..2 (faiss_indexers.py:204-212)
+    max_train_points: int = 1 << 20
+    embedding_dtype: str = "float16"  # stored dtype (reference: encoder.py:175)
+
+
+@dataclass
+class ServeConfig:
+    """Serving operating point (reference: ``dense_server_client.py:81,111``)."""
+
+    nprobe: int = 128
+    candidate_depth: int = 512        # a.k.a. faiss_depth
+    topk: int = 100
+    query_batch_size: int = 144
+    # fixed candidate budget after pid dedup (static shape for XLA)
+    max_candidates: int = 4096
+    host: str = "127.0.0.1"
+    port: int = 9090
+    authkey: str = "colbert-tpu"
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh layout.  ``data`` shards the batch/corpus, ``model``
+    shards attention heads + MLP (tensor parallelism).  The reference only
+    has NCCL DDP (``distributed.py``); TP/PP do not exist there."""
+
+    data: int = -1                    # -1 = all devices
+    model: int = 1
+
+
+@dataclass
+class ColbertConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    ce_model: ModelConfig = field(default_factory=lambda: ModelConfig(hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096))
+    multiview: MultiviewConfig = field(default_factory=MultiviewConfig)
+    tokenizer: TokenizerConfig = field(default_factory=TokenizerConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    ce_train: CETrainConfig = field(default_factory=CETrainConfig)
+    index: IndexConfig = field(default_factory=IndexConfig)
+    serve: ServeConfig = field(default_factory=ServeConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    workspace: str = "workspace"
+
+    def __post_init__(self):
+        if self.multiview.enabled:
+            if self.multiview.q_view > self.tokenizer.query_maxlen:
+                raise ValueError("q_view must fit in query_maxlen")
+            if self.multiview.d_view > self.tokenizer.doc_maxlen:
+                raise ValueError("d_view must fit in doc_maxlen")
+        if self.model.dim % self.index.pq_m != 0:
+            raise ValueError(
+                f"PQ requires dim % m == 0, got dim={self.model.dim} m={self.index.pq_m}"
+            )
+
+    # ---- (de)serialization ----
+
+    @classmethod
+    def from_dict(cls, data: Dict[str, Any]) -> "ColbertConfig":
+        return _from_dict(cls, dict(data))
+
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "ColbertConfig":
+        with open(path, "r", encoding="utf8") as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_yaml(self, path: str | Path) -> None:
+        with open(path, "w", encoding="utf8") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False, allow_unicode=True)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), ensure_ascii=False)
+
+    # ---- derived quantities ----
+
+    @property
+    def doc_vectors_static(self) -> Optional[int]:
+        """Number of vectors per doc when it is statically known (multiview)."""
+        return self.multiview.d_view if self.multiview.enabled else None
+
+
+# nested-dataclass routing table for _from_dict
+_DATACLASS_FIELDS: Dict[Tuple[type, str], type] = {
+    (ColbertConfig, "model"): ModelConfig,
+    (ColbertConfig, "ce_model"): ModelConfig,
+    (ColbertConfig, "multiview"): MultiviewConfig,
+    (ColbertConfig, "tokenizer"): TokenizerConfig,
+    (ColbertConfig, "train"): TrainConfig,
+    (ColbertConfig, "ce_train"): CETrainConfig,
+    (ColbertConfig, "index"): IndexConfig,
+    (ColbertConfig, "serve"): ServeConfig,
+    (ColbertConfig, "mesh"): MeshConfig,
+}
+
+
+def load_config(path: Optional[str | Path] = None, overrides: Optional[Dict[str, Any]] = None) -> ColbertConfig:
+    """Load a config from YAML with optional dotted-key overrides.
+
+    ``overrides`` maps dotted paths (``"train.learning_rate"``) to values —
+    the CLI analogue of the reference's HfArgumentParser flags.
+    """
+    cfg = ColbertConfig.from_yaml(path) if path else ColbertConfig()
+    if overrides:
+        data = cfg.to_dict()
+        for key, value in overrides.items():
+            node = data
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            if parts[-1] not in node:
+                raise ValueError(f"unknown override key: {key}")
+            node[parts[-1]] = value
+        cfg = ColbertConfig.from_dict(data)
+    return cfg

@@ -1,0 +1,90 @@
+"""Device mesh + sharding plumbing.
+
+The TPU-native replacement for the reference's NCCL process-group world
+(``colbert/utils/distributed.py:8-31``): instead of per-process ranks with
+explicit ``all_gather``/``barrier`` calls, we build a ``jax.sharding.Mesh``
+once and express every distributed computation as a jitted program with
+``NamedSharding`` constraints; XLA inserts the ICI collectives.
+
+Axes:
+  * ``data``  — shards batches during training and the corpus during
+                encoding/serving (the reference's DDP + rank-sharded-corpus
+                roles, ``eval.sh:13``, ``encoder.py:64-66``).
+  * ``model`` — tensor parallelism over attention heads / MLP (absent in the
+                reference; free capability on TPU).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class MeshAxes:
+    data: str = "data"
+    model: str = "model"
+
+
+AXES = MeshAxes()
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 2-D (data, model) mesh over the given devices.
+
+    ``data=-1`` takes all remaining devices after the model axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model <= 0:
+        raise ValueError("model axis size must be >= 1")
+    if data == -1:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (AXES.data, AXES.model))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard axis 0 (batch) over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(AXES.data, *([None] * (ndim - 1))))
+
+
+def corpus_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Corpus/embedding tables: rows sharded over data axis."""
+    return batch_sharding(mesh, ndim)
+
+
+def local_shard_bounds(total: int, shard: int, num_shards: int) -> Tuple[int, int]:
+    """Contiguous [start, end) bounds of ``shard`` when ``total`` rows are
+    split as evenly as possible over ``num_shards`` (host-side helper for
+    building per-shard corpus inputs)."""
+    base = total // num_shards
+    rem = total % num_shards
+    start = shard * base + min(shard, rem)
+    end = start + base + (1 if shard < rem else 0)
+    return start, end
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def num_devices() -> int:
+    return jax.device_count()
