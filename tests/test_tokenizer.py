@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+
+from colbert_tpu.config import MultiviewConfig, TokenizerConfig
+from colbert_tpu.tokenization import ColbertTokenizer, build_vocab, write_vocab
+
+TEXTS = [
+    "中国的首都是北京。",
+    "故宫，位于北京市中心！",
+    "hello world, this is a test.",
+    "长江是中国最长的河流？",
+]
+
+
+@pytest.fixture(scope="module")
+def vocab_path(tmp_path_factory):
+    vocab = build_vocab(TEXTS + list("abcdefghijklmnopqrstuvwxyz0123456789"))
+    return write_vocab(vocab, tmp_path_factory.mktemp("vocab") / "vocab.txt")
+
+
+@pytest.fixture(scope="module")
+def mv_tok(vocab_path):
+    return ColbertTokenizer(
+        TokenizerConfig(vocab_path=vocab_path, query_maxlen=32, doc_maxlen=48),
+        MultiviewConfig(enabled=True, q_view=16, d_view=16),
+    )
+
+
+@pytest.fixture(scope="module")
+def flat_tok(vocab_path):
+    return ColbertTokenizer(
+        TokenizerConfig(vocab_path=vocab_path, query_maxlen=32, doc_maxlen=48),
+        MultiviewConfig(enabled=False),
+    )
+
+
+def test_multiview_query_markers(mv_tok):
+    b = mv_tok.encode_queries(["中国的首都"])
+    # first q_view positions are the [unused1..16] markers
+    marker_ids = mv_tok.tok.convert_tokens_to_ids([f"[unused{i}]" for i in range(1, 17)])
+    assert b.input_ids.shape == (1, 32)
+    np.testing.assert_array_equal(b.input_ids[0, :16], marker_ids)
+    assert b.active_mask.shape == (1, 16)
+    assert b.active_mask.all()
+
+
+def test_multiview_doc_markers_distinct(mv_tok):
+    q = mv_tok.encode_queries(["北京"])
+    d = mv_tok.encode_docs(["北京"])
+    assert d.input_ids.shape == (1, 48)
+    # doc markers are a distinct range [unused17..32]
+    assert set(d.input_ids[0, :16]).isdisjoint(set(q.input_ids[0, :16]))
+
+
+def test_flat_mask_ignores_punct_and_sep(flat_tok):
+    b = flat_tok.encode_docs(["北京。"])
+    toks = flat_tok.tok.convert_ids_to_tokens([i for i in b.input_ids[0] if i != 0])
+    assert toks[0] == "[CLS]" and toks[1] == "[unused2]"
+    # [CLS] and marker scored; '。' and '[SEP]' masked
+    active = b.active_mask[0, : len(toks)]
+    for t, a in zip(toks, active):
+        if t in ("。", "[SEP]"):
+            assert a == 0, t
+        else:
+            assert a == 1, t
+
+
+def test_flat_truncation(flat_tok):
+    b = flat_tok.encode_docs(["北京" * 200])
+    assert b.input_ids.shape[1] == 48
+    assert b.attention_mask[0].sum() == 48
+
+
+def test_ce_pairs(mv_tok):
+    b = mv_tok.encode_ce_pairs([("中国的首都?", "北京是中国的首都。")])
+    toks = mv_tok.tok.convert_ids_to_tokens(b.input_ids[0][: int(b.attention_mask[0].sum())])
+    assert toks[0] == "[CLS]"
+    assert toks.count("[SEP]") == 2
+    assert b.active_mask is None
+
+
+def test_ascii_word_active(flat_tok):
+    b = flat_tok.encode_queries(["hello, world."])
+    toks = flat_tok.tok.convert_ids_to_tokens([i for i in b.input_ids[0] if i != 0])
+    assert b.active_mask[0, toks.index(",")] == 0
+    assert b.active_mask[0, toks.index(".")] == 0
