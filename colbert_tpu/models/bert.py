@@ -1,0 +1,106 @@
+"""BERT encoder in Flax linen, TPU-first.
+
+Functional equivalent of the reference's HF ``BertModel`` usage
+(``colbert/modeling/colbert_model.py:47``, ``ce_model.py:51`` — the encoder
+output consumed is always ``hidden_states[-1]``, i.e. the last layer's
+hidden states, ``BaseModel.py:30,35``).  Re-designed rather than ported:
+
+* compute dtype is configurable (bf16 on the MXU), params stay fp32;
+* attention logits + softmax accumulate in fp32;
+* static shapes only; the attention mask is an additive bias computed once;
+* parameter names mirror HF so torch checkpoints convert mechanically
+  (see ``colbert_tpu/models/convert.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from colbert_tpu.config import ModelConfig
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+class BertEmbeddings(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, deterministic: bool):
+        c = self.cfg
+        init = nn.initializers.normal(c.initializer_range)
+        word = nn.Embed(c.vocab_size, c.hidden_size, embedding_init=init, dtype=_dtype(c), name="word_embeddings")
+        pos = nn.Embed(c.max_position_embeddings, c.hidden_size, embedding_init=init, dtype=_dtype(c), name="position_embeddings")
+        typ = nn.Embed(c.type_vocab_size, c.hidden_size, embedding_init=init, dtype=_dtype(c), name="token_type_embeddings")
+        positions = jnp.arange(input_ids.shape[1])[None, :]
+        x = word(input_ids) + pos(positions) + typ(token_type_ids)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=_dtype(c), name="layernorm")(x)
+        return nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
+
+
+class BertSelfAttention(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, bias, deterministic: bool):
+        c = self.cfg
+        h, nh = c.hidden_size, c.num_heads
+        hd = h // nh
+        init = nn.initializers.normal(c.initializer_range)
+        dense = lambda name: nn.Dense(h, kernel_init=init, dtype=_dtype(c), name=name)
+        q = dense("query")(x).reshape(*x.shape[:2], nh, hd)
+        k = dense("key")(x).reshape(*x.shape[:2], nh, hd)
+        v = dense("value")(x).reshape(*x.shape[:2], nh, hd)
+        # fp32 logits + softmax for stability, bf16 everywhere else
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits / jnp.sqrt(hd).astype(jnp.float32) + bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(_dtype(c))
+        probs = nn.Dropout(c.attention_dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(*x.shape[:2], h)
+        return nn.Dense(h, kernel_init=init, dtype=_dtype(c), name="out")(ctx)
+
+
+class BertLayer(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, bias, deterministic: bool):
+        c = self.cfg
+        init = nn.initializers.normal(c.initializer_range)
+        attn = BertSelfAttention(c, name="attention")(x, bias, deterministic)
+        attn = nn.Dropout(c.hidden_dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=_dtype(c), name="attention_layernorm")(x + attn)
+        y = nn.Dense(c.intermediate_size, kernel_init=init, dtype=_dtype(c), name="intermediate")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c.hidden_size, kernel_init=init, dtype=_dtype(c), name="output")(y)
+        y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=_dtype(c), name="output_layernorm")(x + y)
+
+
+class BertEncoder(nn.Module):
+    """Returns the last layer's hidden states, shape (B, L, H)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: jax.Array,
+        token_type_ids: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        c = self.cfg
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        x = BertEmbeddings(c, name="embeddings")(input_ids, token_type_ids, deterministic)
+        # additive mask bias, fp32: 0 for attend, -1e9 for masked
+        bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
+        for i in range(c.num_layers):
+            x = BertLayer(c, name=f"layer_{i}")(x, bias, deterministic)
+        return x

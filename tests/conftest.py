@@ -5,15 +5,12 @@ The reference could never test its distributed paths without GPUs
 host-platform device virtualization.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax  # noqa: E402
-
+# The session environment pins a TPU platform and imports jax at interpreter
+# start (sitecustomize), so env vars are too late — use config updates.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 # XLA:CPU's default matmul path is reduced-precision; tests compare against
 # numpy oracles, so force full fp32.

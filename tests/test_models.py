@@ -1,0 +1,109 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from colbert_tpu.config import ModelConfig, MultiviewConfig
+from colbert_tpu.models import ColbertModel, CrossEncoderModel
+from colbert_tpu.models.sharding import shard_params
+
+TINY = ModelConfig(
+    vocab_size=128,
+    hidden_size=32,
+    num_layers=2,
+    num_heads=4,
+    intermediate_size=64,
+    max_position_embeddings=64,
+    dim=16,
+    dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def colbert_and_params():
+    model = ColbertModel(TINY, MultiviewConfig(enabled=True, q_view=4, d_view=6))
+    ids = jnp.zeros((2, 16), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask, ids, mask)["params"]
+    return model, params
+
+
+def test_colbert_shapes_and_norms(colbert_and_params):
+    model, params = colbert_and_params
+    ids = jnp.arange(32, dtype=jnp.int32).reshape(2, 16) % 128
+    mask = jnp.ones((2, 16), jnp.int32)
+    Q = model.apply({"params": params}, ids, mask, method=model.query)
+    D = model.apply({"params": params}, ids, mask, method=model.doc)
+    assert Q.shape == (2, 4, 16)  # q_view slices
+    assert D.shape == (2, 6, 16)  # d_view slices
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(Q), axis=-1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(D), axis=-1), 1.0, rtol=1e-5)
+
+
+def test_non_multiview_full_length():
+    model = ColbertModel(TINY, MultiviewConfig(enabled=False))
+    ids = jnp.zeros((1, 16), jnp.int32)
+    mask = jnp.ones((1, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask, ids, mask)["params"]
+    Q = model.apply({"params": params}, ids, mask, method=model.query)
+    assert Q.shape == (1, 16, 16)
+
+
+def test_ce_model_scalar_logits():
+    model = CrossEncoderModel(TINY)
+    ids = jnp.zeros((3, 16), jnp.int32)
+    mask = jnp.ones((3, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    logits = model.apply({"params": params}, ids, mask)
+    assert logits.shape == (3,)
+
+
+def test_tp_sharded_forward_matches(colbert_and_params, mesh8):
+    model, params = colbert_and_params
+    ids = jnp.arange(32, dtype=jnp.int32).reshape(2, 16) % 128
+    mask = jnp.ones((2, 16), jnp.int32)
+    want = model.apply({"params": params}, ids, mask, method=model.query)
+    sharded = shard_params(params, mesh8)
+    got = jax.jit(lambda p, i, m: model.apply({"params": p}, i, m, method=model.query))(sharded, ids, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_torch_conversion_fidelity():
+    """torch HF BertModel and our Flax encoder must agree to ~1e-4 (SURVEY §7:
+    per-token embedding cosine > 0.999 is the checkpoint-porting bar)."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel
+
+    hf_cfg = BertConfig(
+        vocab_size=TINY.vocab_size,
+        hidden_size=TINY.hidden_size,
+        num_hidden_layers=TINY.num_layers,
+        num_attention_heads=TINY.num_heads,
+        intermediate_size=TINY.intermediate_size,
+        max_position_embeddings=TINY.max_position_embeddings,
+        type_vocab_size=2,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf = BertModel(hf_cfg).eval()
+
+    from colbert_tpu.models.bert import BertEncoder
+    from colbert_tpu.models.convert import bert_params_from_torch
+
+    params = bert_params_from_torch({k: v for k, v in hf.state_dict().items()}, TINY)
+    ids_np = np.random.default_rng(0).integers(0, 128, size=(2, 12))
+    mask_np = np.ones((2, 12), np.int64)
+    mask_np[1, 8:] = 0
+    with torch.no_grad():
+        want = hf(
+            torch.tensor(ids_np), attention_mask=torch.tensor(mask_np), output_hidden_states=True
+        ).hidden_states[-1].numpy()
+    enc = BertEncoder(TINY)
+    got = enc.apply({"params": params}, jnp.asarray(ids_np, jnp.int32), jnp.asarray(mask_np, jnp.int32))
+    valid = mask_np.astype(bool)
+    np.testing.assert_allclose(np.asarray(got)[valid], want[valid], atol=2e-4)
+    cos = np.sum(np.asarray(got)[valid] * want[valid], -1) / (
+        np.linalg.norm(np.asarray(got)[valid], axis=-1) * np.linalg.norm(want[valid], axis=-1)
+    )
+    assert cos.min() > 0.999
