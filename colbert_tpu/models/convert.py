@@ -40,7 +40,7 @@ def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
                 break
         if k.startswith(("embeddings.", "encoder.", "pooler.")):
             k = "encoder_root." + k
-        out[k] = v
+        out[k] = _np(v)
     return out
 
 
