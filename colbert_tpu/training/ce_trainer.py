@@ -1,0 +1,193 @@
+"""Cross-encoder reranker trainer + reranking inference.
+
+Parity with the reference CE flow (``colbert/modeling/ce_model.py:56-101``,
+``colbert/training/ce_trainer.py:21-123``):
+
+* train: per question, 1 random positive + ``neg_num`` negatives sampled
+  without replacement from ``hard_negative_ctxs[5:50]``; NLL over the
+  per-question score row at column 0, temperature 1.
+* dev: first positive + ``2*neg_num`` leading negatives; metric = true MRR.
+* test/rerank: score the top ``eval_topk`` retrieval results per question
+  and re-sort (``ce_trainer.py:97-123``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colbert_tpu.config import ColbertConfig
+from colbert_tpu.models import CrossEncoderModel
+from colbert_tpu.models.sharding import param_shardings
+from colbert_tpu.parallel.mesh import batch_sharding, make_mesh
+from colbert_tpu.tokenization import ColbertTokenizer
+from colbert_tpu.training.checkpoint import CheckpointManager
+from colbert_tpu.training.dataset import RetrievalDataset
+from colbert_tpu.training.losses import biencoder_nll_loss
+from colbert_tpu.training.train_state import TrainState, make_train_state
+from colbert_tpu.utils.logging import get_logger
+
+logger = get_logger("ce_trainer")
+
+
+class CETrainer:
+    def __init__(
+        self,
+        cfg: ColbertConfig,
+        tokenizer: ColbertTokenizer,
+        mesh=None,
+        init_params: Optional[Any] = None,
+    ):
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.data, cfg.mesh.model)
+        self.model = CrossEncoderModel(cfg.ce_model)
+        self.rng = jax.random.PRNGKey(cfg.ce_train.seed)
+        self.np_rng = np.random.default_rng(cfg.ce_train.seed)
+        self._init_params = init_params
+        self.state: Optional[TrainState] = None
+        self.ckpt = CheckpointManager(cfg.ce_train.checkpoint_dir)
+        self._compiled: Dict[str, Any] = {}
+
+    def _init_state(self, total_steps: int) -> None:
+        if self.state is not None:
+            return
+        L = self.cfg.tokenizer.ce_maxlen
+        dummy = jnp.zeros((2, L), jnp.int32)
+        params = self._init_params or self.model.init(self.rng, dummy, jnp.ones_like(dummy))["params"]
+        if self._init_params is not None:
+            full = self.model.init(self.rng, dummy, jnp.ones_like(dummy))["params"]
+            from colbert_tpu.training.trainer import _merge_params
+
+            params = _merge_params(full, params)
+        params = jax.device_put(params, param_shardings(params, self.mesh))
+        # reuse TrainConfig-shaped fields from CETrainConfig
+        from colbert_tpu.config import TrainConfig
+
+        tc = TrainConfig(
+            learning_rate=self.cfg.ce_train.learning_rate,
+            weight_decay=self.cfg.ce_train.weight_decay,
+            max_grad_norm=self.cfg.ce_train.max_grad_norm,
+        )
+        self.state = make_train_state(self.model.apply, params, tc, total_steps)
+
+    # ---- pair building (host) ----
+
+    def _build_pairs(self, examples: Sequence[Dict[str, Any]], mode: str) -> Tuple[np.ndarray, np.ndarray, int]:
+        c = self.cfg.ce_train
+        pairs: List[Tuple[str, str]] = []
+        group = 0
+        for ex in examples:
+            q = ex["question"]
+            if mode == "test":
+                cands = ex["retrieval_res"][: c.eval_topk]
+                pairs += [(q, p) for p in cands]
+                group = c.eval_topk
+                continue
+            negs = list(ex["hard_negative_ctxs"])
+            neg_num = c.neg_num * 2 if mode == "dev" else c.neg_num
+            while len(negs) < max(neg_num, c.neg_pool_hi if mode == "train" else neg_num):
+                negs.append(negs[-1])
+            if mode == "train":
+                pos = ex["positive_ctxs"][self.np_rng.integers(len(ex["positive_ctxs"]))]
+                pool = negs[c.neg_pool_lo : c.neg_pool_hi]
+                idx = self.np_rng.choice(len(pool), size=neg_num, replace=False)
+                chosen = [pool[i] for i in idx]
+            else:
+                pos = ex["positive_ctxs"][0]
+                chosen = negs[:neg_num]
+            pairs += [(q, pos)] + [(q, n) for n in chosen]
+            group = 1 + neg_num
+        enc = self.tok.encode_ce_pairs(pairs)
+        return enc.input_ids, enc.attention_mask, group
+
+    # ---- jitted steps ----
+
+    def _train_step_fn(self):
+        model, T = self.model, self.cfg.ce_train.score_temperature
+
+        def step(state: TrainState, rng, ids, attn, group):
+            def loss_fn(params):
+                logits = model.apply(
+                    {"params": params}, ids, attn, deterministic=False, rngs={"dropout": rng}
+                )
+                scores = logits.reshape(-1, group) / T
+                labels = jnp.zeros((scores.shape[0],), jnp.int32)
+                return biencoder_nll_loss(scores, labels)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        return jax.jit(step, static_argnames=("group",), donate_argnums=(0,))
+
+    def _score_fn(self):
+        model = self.model
+
+        def score(params, ids, attn):
+            return model.apply({"params": params}, ids, attn)
+
+        return jax.jit(score)
+
+    # ---- public API ----
+
+    def train(self, train_ds: RetrievalDataset, dev_ds: Optional[RetrievalDataset] = None, num_epochs: Optional[int] = None):
+        c = self.cfg.ce_train
+        epochs = num_epochs if num_epochs is not None else c.num_epochs
+        global_bs = c.per_device_batch_size * self.mesh.shape["data"]
+        steps_per_epoch = max(1, len(train_ds) // global_bs)
+        self._init_state(steps_per_epoch * epochs)
+        train_step = self._compiled.setdefault("train", self._train_step_fn())
+        bs2 = batch_sharding(self.mesh, 2)
+        gstep = 0
+        logs = []
+        for epoch in range(epochs):
+            order = np.random.default_rng(c.seed + epoch).permutation(len(train_ds))
+            for s in range(steps_per_epoch):
+                idxs = order[s * global_bs : (s + 1) * global_bs]
+                if len(idxs) < global_bs:
+                    break
+                ids, attn, group = self._build_pairs([train_ds[i] for i in idxs], "train")
+                rng = jax.random.fold_in(self.rng, gstep)
+                self.state, loss = train_step(
+                    self.state, rng, jax.device_put(jnp.asarray(ids), bs2), jax.device_put(jnp.asarray(attn), bs2), group
+                )
+                gstep += 1
+                logs.append(float(loss))
+            if dev_ds is not None:
+                logger.info("epoch %d dev_mrr=%.4f", epoch, self.evaluate(dev_ds))
+            self.ckpt.save(gstep, {"params": self.state.params, "step": gstep})
+        return logs
+
+    def evaluate(self, dev_ds: RetrievalDataset) -> float:
+        score_fn = self._compiled.setdefault("score", self._score_fn())
+        rrs = []
+        bs = max(1, self.cfg.ce_train.per_device_batch_size * self.mesh.shape["data"])
+        for s in range(0, len(dev_ds), bs):
+            exs = [dev_ds[i] for i in range(s, min(len(dev_ds), s + bs))]
+            ids, attn, group = self._build_pairs(exs, "dev")
+            logits = np.asarray(score_fn(self.state.params, jnp.asarray(ids), jnp.asarray(attn)))
+            scores = logits.reshape(len(exs), group)
+            ranks = (np.argsort(-scores, axis=1) == 0).argmax(axis=1)
+            rrs += list(1.0 / (ranks + 1.0))
+        return float(np.mean(rrs))
+
+    def rerank(self, question: str, candidates: Sequence[str], params: Optional[Any] = None, batch: int = 128) -> List[int]:
+        """Return candidate indices re-sorted by CE score (descending)."""
+        if params is None:
+            params = self.state.params
+        score_fn = self._compiled.setdefault("score", self._score_fn())
+        scores = []
+        for s in range(0, len(candidates), batch):
+            chunk = candidates[s : s + batch]
+            enc = self.tok.encode_ce_pairs([(question, p) for p in chunk])
+            pad = batch - len(chunk)
+            ids = np.pad(enc.input_ids, ((0, pad), (0, 0)))
+            attn = np.pad(enc.attention_mask, ((0, pad), (0, 0)))
+            out = np.asarray(score_fn(params, jnp.asarray(ids), jnp.asarray(attn)))[: len(chunk)]
+            scores.append(out)
+        scores = np.concatenate(scores)
+        return list(np.argsort(-scores))

@@ -1,0 +1,152 @@
+"""Retrieval training data pipeline.
+
+The reference's data layer (``colbert/training/colbert_dataset.py:14-76``)
+is a JSON list of ``{question, positive_ctxs, hard_negative_ctxs}`` with an
+identity collate — tokenization happens *inside the model forward on GPU
+steps* (``colbert_model.py:80-84``), serializing host work with device work.
+
+Here the sampler + tokenizer run on the host ahead of the jitted step and
+yield dense arrays (static shapes), so the TPU never waits on Python.
+Sampling semantics match ``colbert_model.py:56-77``:
+
+* train: 1 uniformly-random positive + 1 of the first ``negative_pool`` (50)
+  hard negatives per question;
+* eval: first 2 positives (duplicated if only one) + first 8 hard negatives.
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from dataclasses import dataclass
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from colbert_tpu.config import TrainConfig
+from colbert_tpu.tokenization import ColbertTokenizer
+from colbert_tpu.utils.io import load_json
+
+
+class RetrievalDataset:
+    """Examples: {question, positive_ctxs: [str], hard_negative_ctxs: [str]}."""
+
+    def __init__(self, examples: Sequence[Dict[str, Any]]):
+        self.examples = list(examples)
+
+    @classmethod
+    def from_json(cls, path: str) -> "RetrievalDataset":
+        return cls(load_json(path))
+
+    def __len__(self) -> int:
+        return len(self.examples)
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        return self.examples[i]
+
+
+@dataclass
+class TrainBatch:
+    q_ids: np.ndarray
+    q_attn: np.ndarray
+    q_active: np.ndarray
+    d_ids: np.ndarray
+    d_attn: np.ndarray
+    d_active: np.ndarray
+
+
+class RetrievalSampler:
+    """Deterministic, seeded epoch iterator producing tokenized batches.
+
+    Docs are interleaved per question: [pos..., neg...] x batch, so the
+    positive column for question i is ``i * group_size`` (reference labels
+    ``positive_idx_per_question = 2*i``, ``colbert_model.py:89``).
+    """
+
+    def __init__(
+        self,
+        dataset: RetrievalDataset,
+        tokenizer: ColbertTokenizer,
+        cfg: TrainConfig,
+        batch_size: int,
+        is_eval: bool = False,
+        seed: Optional[int] = None,
+        drop_last: bool = True,
+    ):
+        self.ds = dataset
+        self.tok = tokenizer
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.is_eval = is_eval
+        self.rng = np.random.default_rng(cfg.seed if seed is None else seed)
+        self.drop_last = drop_last
+
+    @property
+    def group_size(self) -> int:
+        c = self.cfg
+        if self.is_eval:
+            return c.eval_num_positives + c.eval_num_negatives
+        return c.train_num_positives + c.train_num_negatives
+
+    @property
+    def num_positives(self) -> int:
+        return self.cfg.eval_num_positives if self.is_eval else self.cfg.train_num_positives
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _sample_docs(self, ex: Dict[str, Any]) -> List[str]:
+        c = self.cfg
+        pos_ctxs = list(ex["positive_ctxs"])
+        neg_ctxs = list(ex["hard_negative_ctxs"])
+        if not self.is_eval:
+            pos = [pos_ctxs[self.rng.integers(len(pos_ctxs))] for _ in range(c.train_num_positives)]
+            pool = neg_ctxs[: c.train_negative_pool]
+            neg = [pool[self.rng.integers(len(pool))] for _ in range(c.train_num_negatives)]
+        else:
+            while len(pos_ctxs) < c.eval_num_positives:
+                pos_ctxs.append(pos_ctxs[-1])
+            pos = pos_ctxs[: c.eval_num_positives]
+            while len(neg_ctxs) < c.eval_num_negatives:
+                neg_ctxs.append(neg_ctxs[-1])
+            neg = neg_ctxs[: c.eval_num_negatives]
+        return pos + neg
+
+    def _make_batch(self, idxs: Sequence[int]) -> TrainBatch:
+        questions = [self.ds[i]["question"] for i in idxs]
+        docs: List[str] = []
+        for i in idxs:
+            docs += self._sample_docs(self.ds[i])
+        q = self.tok.encode_queries(questions)
+        d = self.tok.encode_docs(docs)
+        return TrainBatch(q.input_ids, q.attention_mask, q.active_mask, d.input_ids, d.attention_mask, d.active_mask)
+
+    def epoch(self, epoch_idx: int = 0, prefetch: int = 2) -> Iterator[TrainBatch]:
+        """Yield tokenized batches; tokenization overlaps the device step via
+        a producer thread (replaces the reference's Pool(4)+Queue machinery,
+        ``encoder.py:69-84``, with one bounded queue)."""
+        order = np.arange(len(self.ds))
+        if not self.is_eval:
+            shuffle_rng = np.random.default_rng(self.cfg.seed + epoch_idx)
+            shuffle_rng.shuffle(order)
+        n_steps = self.steps_per_epoch()
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=prefetch)
+        sentinel = object()
+
+        def produce():
+            for s in range(n_steps):
+                idxs = order[s * self.batch_size : (s + 1) * self.batch_size]
+                if len(idxs) < self.batch_size and self.drop_last:
+                    break
+                q.put(self._make_batch(idxs))
+            q.put(sentinel)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()

@@ -1,0 +1,133 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from colbert_tpu.config import (
+    CETrainConfig,
+    ColbertConfig,
+    IndexConfig,
+    MeshConfig,
+    ModelConfig,
+    MultiviewConfig,
+    TokenizerConfig,
+    TrainConfig,
+)
+from colbert_tpu.tokenization import ColbertTokenizer, build_vocab, write_vocab
+from colbert_tpu.training import RetrievalDataset, RetrievalSampler
+from colbert_tpu.training.losses import biencoder_nll_loss, mean_positive_rank
+
+WORDS = ["apple", "river", "mountain", "piano", "dragon", "silver", "ocean", "candle", "forest", "marble"]
+
+
+def make_examples(n=16):
+    """Synthetic retrieval data: the positive doc repeats the question's word."""
+    rng = np.random.default_rng(0)
+    exs = []
+    for i in range(n):
+        w = WORDS[i % len(WORDS)]
+        others = [x for x in WORDS if x != w]
+        exs.append(
+            {
+                "question": f"find {w}",
+                "positive_ctxs": [f"{w} {w} text about {w}"],
+                "hard_negative_ctxs": [f"{o} stuff {o}" for o in rng.permutation(others)],
+            }
+        )
+    return exs
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    vocab = build_vocab([" ".join(WORDS), "find text about stuff"], max_size=2000)
+    vp = write_vocab(vocab, tmp_path_factory.mktemp("v") / "vocab.txt")
+    work = tmp_path_factory.mktemp("work")
+    return ColbertConfig(
+        model=ModelConfig(
+            vocab_size=4096, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_position_embeddings=64, dim=16, dtype="float32",
+        ),
+        ce_model=ModelConfig(
+            vocab_size=4096, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, max_position_embeddings=64, dim=16, dtype="float32",
+        ),
+        multiview=MultiviewConfig(enabled=True, q_view=4, d_view=4),
+        tokenizer=TokenizerConfig(vocab_path=vp, query_maxlen=16, doc_maxlen=24, ce_maxlen=32),
+        train=TrainConfig(
+            learning_rate=1e-3, per_device_batch_size=1, num_epochs=2,
+            eval_num_positives=1, eval_num_negatives=3, log_every=2,
+            checkpoint_dir=str(work / "ckpt"), seed=0,
+        ),
+        ce_train=CETrainConfig(
+            learning_rate=1e-3, per_device_batch_size=1, num_epochs=1, neg_num=2,
+            neg_pool_lo=0, neg_pool_hi=6, checkpoint_dir=str(work / "ckpt_ce"),
+        ),
+        index=IndexConfig(pq_m=4),
+        mesh=MeshConfig(data=4, model=2),
+    )
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tiny_cfg):
+    return ColbertTokenizer(tiny_cfg.tokenizer, tiny_cfg.multiview)
+
+
+def test_biencoder_nll_loss_manual():
+    scores = jnp.asarray([[2.0, 0.0, 0.0], [0.0, 3.0, 1.0]])
+    labels = jnp.asarray([0, 1])
+    want = -(np.log(np.exp(2) / (np.exp(2) + 2)) + np.log(np.exp(3) / (np.exp(3) + np.exp(1) + 1))) / 2
+    got = float(biencoder_nll_loss(scores, labels))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_mean_positive_rank():
+    # 2 queries, group=2 (1 pos + 1 neg): positives at cols 0, 2
+    scores = jnp.asarray([[5.0, 1.0, 2.0, 0.0], [0.0, 9.0, 3.0, 1.0]])
+    # q0: col0 ranked 0 -> rank 0; q1: col2 ranked 1 -> rank 1 => mean 0.5
+    got = float(mean_positive_rank(scores, group_size=2, num_pos=1))
+    assert got == pytest.approx(0.5)
+
+
+def test_sampler_shapes(tiny_cfg, tokenizer):
+    ds = RetrievalDataset(make_examples(8))
+    s = RetrievalSampler(ds, tokenizer, tiny_cfg.train, batch_size=4)
+    batches = list(s.epoch(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b.q_ids.shape == (4, 16)
+    assert b.d_ids.shape == (8, 24)  # 1 pos + 1 neg per question
+    assert b.q_active.shape == (4, 4)  # q_view
+    assert b.d_active.shape == (8, 4)
+
+
+def test_train_loss_decreases_and_resume(tiny_cfg, tokenizer, mesh8):
+    from colbert_tpu.training import ColbertTrainer
+
+    ds = RetrievalDataset(make_examples(16))
+    dev = RetrievalDataset(make_examples(4))
+    trainer = ColbertTrainer(tiny_cfg, tokenizer, mesh=mesh8)
+    log = trainer.train(ds, dev_ds=dev, num_epochs=3)
+    losses = [s["loss"] for s in log.steps]
+    assert losses[-1] < losses[0]
+    assert trainer.log.evals, "half-epoch eval should have run"
+    assert trainer.ckpt.latest_step() is not None
+
+    # restore into a fresh trainer and check params match
+    t2 = ColbertTrainer(tiny_cfg, tokenizer, mesh=mesh8)
+    params = t2.load_params_for_inference()
+    a = jax.tree.leaves(params)[0]
+    b = jax.tree.leaves(trainer.state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_ce_train_smoke(tiny_cfg, tokenizer, mesh8):
+    from colbert_tpu.training import CETrainer
+
+    ds = RetrievalDataset(make_examples(8))
+    trainer = CETrainer(tiny_cfg, tokenizer, mesh=mesh8)
+    losses = trainer.train(ds, num_epochs=2)
+    assert len(losses) >= 2 and np.isfinite(losses).all()
+    mrr = trainer.evaluate(RetrievalDataset(make_examples(4)))
+    assert 0.0 < mrr <= 1.0
+    order = trainer.rerank("find apple", ["river stuff", "apple apple", "piano"], batch=2)
+    assert len(order) == 3
