@@ -1,0 +1,136 @@
+"""IVF (inverted-file) probe + ADC scan, static-shape XLA.
+
+TPU-native replacement for faiss's IVF-PQ search
+(``colbert/ranking/colbert_ranker.py:183-210``) and its GPU ``add`` path
+(``faiss_index_gpu.py:81-141``).
+
+Layout: instead of pointer-chasing inverted lists, embeddings are stored
+*flat, sorted by coarse-list id* (a CSR layout):
+
+    codes_sorted : (N, m) uint8     PQ codes, rows grouped by list
+    row_emb_id   : (N,)   int32     original embedding id per sorted row
+    offsets      : (K+1,) int32     list l occupies rows [offsets[l], offsets[l+1])
+
+Probing gathers ``cap`` rows per probed list with a static shape
+(``offsets[l] + arange(cap)``, masked by the true list length); rows beyond
+the list's end belong to neighboring lists and are masked out.  There is no
+padding in storage — only in the transient gather.
+
+The scan itself is: coarse top-nprobe via MXU matmul, ADC scoring of the
+gathered codes via per-token LUT gathers, then one top-``depth`` per token.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colbert_tpu.ops.pq import adc_lut
+
+
+def sort_by_list(assignments: np.ndarray, num_lists: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side CSR packing: stable-sort rows by list id.
+
+    Returns (perm (N,), offsets (K+1,)).  Equivalent of faiss's
+    ``add``-time list building (``faiss_index_gpu.py:101-141``) without the
+    GPU-shard/flush machinery — the arrays are just written sharded to disk.
+    """
+    perm = np.argsort(assignments, kind="stable").astype(np.int64)
+    counts = np.bincount(assignments, minlength=num_lists)
+    offsets = np.zeros(num_lists + 1, np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return perm, offsets
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "cap", "depth", "token_chunk")
+)
+def ivf_probe_adc(
+    q_tokens: jax.Array,          # (T, d) query token embeddings
+    coarse_centroids: jax.Array,  # (K, d)
+    codebooks: jax.Array,         # (m, ksub, dsub)
+    codes_sorted: jax.Array,      # (N, m) uint8
+    offsets: jax.Array,           # (K+1,) int32
+    *,
+    nprobe: int,
+    cap: int,
+    depth: int,
+    token_chunk: int = 32,
+) -> Tuple[jax.Array, jax.Array]:
+    """For each query token: probe top-``nprobe`` lists, ADC-score up to
+    ``cap`` rows per list, return top-``depth`` (scores, sorted-row ids).
+
+    Returns (scores (T, depth) fp32, rows (T, depth) int32); masked slots
+    have score -inf and row -1.
+    """
+    T, d = q_tokens.shape
+    K = coarse_centroids.shape[0]
+    lut_all = adc_lut(q_tokens, codebooks)  # (T, m, ksub)
+
+    T_pad = ((T + token_chunk - 1) // token_chunk) * token_chunk
+    q_pad = jnp.pad(q_tokens, ((0, T_pad - T), (0, 0)))
+    lut_pad = jnp.pad(lut_all, ((0, T_pad - T), (0, 0), (0, 0)))
+
+    lengths = offsets[1:] - offsets[:-1]  # (K,)
+
+    def chunk_body(inp):
+        q, lut = inp  # (tc, d), (tc, m, ksub)
+        coarse = jnp.dot(q, coarse_centroids.T, preferred_element_type=jnp.float32)
+        _, lists = jax.lax.top_k(coarse, nprobe)  # (tc, nprobe)
+        base = offsets[lists]                      # (tc, nprobe)
+        ln = lengths[lists]                        # (tc, nprobe)
+        idx = base[..., None] + jnp.arange(cap)[None, None, :]      # (tc, nprobe, cap)
+        valid = jnp.arange(cap)[None, None, :] < ln[..., None]
+        idx = jnp.clip(idx, 0, codes_sorted.shape[0] - 1)
+        codes = codes_sorted[idx.reshape(idx.shape[0], -1)]         # (tc, nprobe*cap, m)
+        # ADC: lut[t, j, codes[t, c, j]] summed over j
+        gathered = jnp.take_along_axis(
+            lut[:, None, :, :], codes.astype(jnp.int32)[:, :, :, None], axis=3
+        )[..., 0]                                                    # (tc, nprobe*cap, m)
+        scores = gathered.sum(axis=-1)
+        scores = jnp.where(valid.reshape(valid.shape[0], -1), scores, -jnp.inf)
+        s, i = jax.lax.top_k(scores, depth)                          # (tc, depth)
+        rows = jnp.take_along_axis(idx.reshape(idx.shape[0], -1), i, axis=1)
+        rows = jnp.where(jnp.isfinite(s), rows, -1)
+        return s, rows.astype(jnp.int32)
+
+    scores, rows = jax.lax.map(
+        chunk_body,
+        (q_pad.reshape(-1, token_chunk, d), lut_pad.reshape(-1, token_chunk, *lut_all.shape[1:])),
+    )
+    return scores.reshape(T_pad, depth)[:T], rows.reshape(T_pad, depth)[:T]
+
+
+def dedup_pids_by_score(
+    pids: jax.Array, scores: jax.Array, max_out: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Deduplicate candidate pids, keeping each pid's best ADC score, and
+    return the top-``max_out`` unique pids by that score.
+
+    Device-side replacement for the reference's CPU ``Pool(16)`` per-query
+    uniq (``colbert_ranker.py:212-229``).  Inputs may contain -1 (invalid).
+    Output pids padded with -1.
+    """
+    n = pids.shape[0]
+    order = jnp.argsort(pids)
+    sp = pids[order]
+    ss = scores[order]
+    first = jnp.concatenate([jnp.ones((1,), bool), sp[1:] != sp[:-1]])
+    seg = jnp.cumsum(first) - 1  # segment index per row
+    seg_best = jax.ops.segment_max(ss, seg, num_segments=n)          # (n,) -inf beyond
+    seg_pid = jax.ops.segment_max(
+        jnp.where(first, sp, jnp.iinfo(jnp.int32).min), seg, num_segments=n
+    )
+    seg_valid = (seg_pid >= 0) & jnp.isfinite(seg_best)
+    seg_score = jnp.where(seg_valid, seg_best, -jnp.inf)
+    k = min(max_out, n)
+    top_s, top_i = jax.lax.top_k(seg_score, k)
+    out_pids = jnp.where(jnp.isfinite(top_s), seg_pid[top_i], -1).astype(jnp.int32)
+    if k < max_out:
+        out_pids = jnp.pad(out_pids, (0, max_out - k), constant_values=-1)
+        top_s = jnp.pad(top_s, (0, max_out - k), constant_values=-jnp.inf)
+    return out_pids, top_s

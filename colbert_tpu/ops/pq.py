@@ -1,0 +1,132 @@
+"""Product quantization on TPU.
+
+TPU-native replacement for faiss's PQ training / code assignment / ADC
+lookup (reference: ``IndexIVFPQ(quantizer, dim, partitions, m=64, nbits=8)``
+at ``colbert/indexing/faiss_index.py:25``).
+
+The vector space is split into ``m`` subspaces of ``dsub = d/m`` dims; each
+trains an independent 2^nbits-entry codebook.  All m sub-k-means run
+*batched in one jitted program* — distances are one ``(n, m, dsub) x
+(m, ksub, dsub)`` einsum per Lloyd iteration (MXU), not m sequential jobs
+like faiss's CPU path.
+
+ADC (asymmetric distance computation): a query builds per-subspace lookup
+tables ``lut[m, ksub] = <q_sub, codebook[m, ksub]>``; a candidate's score is
+``sum_m lut[m, code[m]]``.  Inner product is used throughout: embeddings are
+L2-normalized (``BaseModel.py:26``), so IP ordering == the reference's L2
+ordering.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _split(points: jax.Array, m: int) -> jax.Array:
+    n, d = points.shape
+    return points.reshape(n, m, d // m)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "ksub", "iters", "chunk"))
+def pq_train(
+    points: jax.Array,
+    m: int,
+    ksub: int = 256,
+    *,
+    iters: int = 25,
+    key: jax.Array | None = None,
+    chunk: int = 16384,
+) -> jax.Array:
+    """Train PQ codebooks.  points (N, d) -> codebooks (m, ksub, dsub) fp32."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n, d = points.shape
+    dsub = d // m
+    x = _split(points.astype(jnp.float32), m)  # (n, m, dsub)
+
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
+    xs = x.reshape(-1, chunk, m, dsub)
+    vs = valid.reshape(-1, chunk)
+
+    init_idx = jax.random.choice(key, n, shape=(ksub,), replace=n < ksub)
+    codebooks0 = jnp.transpose(x[init_idx], (1, 0, 2))  # (m, ksub, dsub)
+
+    def lloyd_iter(codebooks, _):
+        c_sq = jnp.sum(codebooks**2, axis=-1)  # (m, ksub)
+
+        def chunk_body(carry, inp):
+            sums, counts = carry
+            xc, mask = inp  # (chunk, m, dsub), (chunk,)
+            dots = jnp.einsum("nmd,mkd->nmk", xc, codebooks, preferred_element_type=jnp.float32)
+            a = jnp.argmin(c_sq[None] - 2.0 * dots, axis=-1)  # (chunk, m)
+            onehot = jax.nn.one_hot(a, ksub, dtype=jnp.float32) * mask[:, None, None]
+            sums = sums + jnp.einsum("nmk,nmd->mkd", onehot, xc, preferred_element_type=jnp.float32)
+            counts = counts + onehot.sum(axis=0)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            chunk_body,
+            (jnp.zeros((m, ksub, dsub), jnp.float32), jnp.zeros((m, ksub), jnp.float32)),
+            (xs, vs),
+        )
+        new = sums / jnp.maximum(counts, 1.0)[..., None]
+        new = jnp.where((counts > 0)[..., None], new, codebooks)
+        return new, None
+
+    codebooks, _ = jax.lax.scan(lloyd_iter, codebooks0, None, length=iters)
+    return codebooks
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def pq_encode(points: jax.Array, codebooks: jax.Array, chunk: int = 16384) -> jax.Array:
+    """Assign codes.  points (N, d), codebooks (m, ksub, dsub) -> (N, m) uint8."""
+    n, d = points.shape
+    m, ksub, dsub = codebooks.shape
+    x = _split(points.astype(jnp.float32), m)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0), (0, 0)))
+    c_sq = jnp.sum(codebooks**2, axis=-1)
+
+    def body(xc):
+        dots = jnp.einsum("nmd,mkd->nmk", xc, codebooks, preferred_element_type=jnp.float32)
+        return jnp.argmin(c_sq[None] - 2.0 * dots, axis=-1).astype(jnp.uint8)
+
+    out = jax.lax.map(body, x.reshape(-1, chunk, m, dsub))
+    return out.reshape(n_pad, m)[:n]
+
+
+def pq_decode(codes: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Reconstruct vectors.  codes (N, m) -> (N, m*dsub)."""
+    m, ksub, dsub = codebooks.shape
+    sub = jnp.take_along_axis(
+        codebooks[None], codes.astype(jnp.int32)[:, :, None, None], axis=2
+    )[:, :, 0, :]  # (N, m, dsub)
+    return sub.reshape(codes.shape[0], m * dsub)
+
+
+def adc_lut(queries: jax.Array, codebooks: jax.Array) -> jax.Array:
+    """Per-query inner-product LUTs.  queries (B, d) -> (B, m, ksub) fp32."""
+    b, d = queries.shape
+    m, ksub, dsub = codebooks.shape
+    qs = queries.reshape(b, m, dsub).astype(jnp.float32)
+    return jnp.einsum("bmd,mkd->bmk", qs, codebooks, preferred_element_type=jnp.float32)
+
+
+def adc_score(lut: jax.Array, codes: jax.Array) -> jax.Array:
+    """ADC scores via gather.  lut (B, m, ksub), codes (C, m) -> (B, C) fp32."""
+    m = codes.shape[1]
+    # (B, C, m) gather: lut[b, j, codes[c, j]]
+    gathered = jnp.take_along_axis(
+        lut[:, None, :, :],  # (B, 1, m, ksub)
+        codes.astype(jnp.int32)[None, :, :, None],  # (1, C, m, 1)
+        axis=3,
+    )[..., 0]
+    return gathered.sum(axis=-1)

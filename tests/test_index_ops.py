@@ -1,0 +1,126 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from colbert_tpu.ops.ivf import dedup_pids_by_score, ivf_probe_adc, sort_by_list
+from colbert_tpu.ops.kmeans import assign_clusters, kmeans
+from colbert_tpu.ops.pq import adc_lut, adc_score, pq_decode, pq_encode, pq_train
+
+
+def blobs(rng, n, k, d, scale=0.05):
+    centers = rng.normal(size=(k, d)).astype(np.float32)
+    a = rng.integers(0, k, size=n)
+    return (centers[a] + scale * rng.normal(size=(n, d))).astype(np.float32), centers, a
+
+
+def test_kmeans_recovers_blobs(rng):
+    x, centers, true_a = blobs(rng, 2000, 8, 16)
+    cents, assign = kmeans(jnp.asarray(x), 8, iters=15, key=jax.random.PRNGKey(1), chunk=512)
+    cents = np.asarray(cents)
+    # every true center has a learned centroid nearby
+    d = np.linalg.norm(centers[:, None] - cents[None], axis=-1).min(axis=1)
+    assert d.max() < 0.2
+    # assignment consistent with nearest centroid
+    a2 = np.asarray(assign_clusters(jnp.asarray(x), jnp.asarray(cents), chunk=512))
+    np.testing.assert_array_equal(np.asarray(assign), a2)
+
+
+def test_kmeans_reduces_error(rng):
+    x = rng.normal(size=(1500, 24)).astype(np.float32)
+    cents, assign = kmeans(jnp.asarray(x), 16, iters=10, chunk=512)
+    err = np.linalg.norm(x - np.asarray(cents)[np.asarray(assign)], axis=1).mean()
+    cents0 = x[:16]
+    a0 = np.asarray(assign_clusters(jnp.asarray(x), jnp.asarray(cents0), chunk=512))
+    err0 = np.linalg.norm(x - cents0[a0], axis=1).mean()
+    assert err < err0
+
+
+def test_pq_roundtrip_and_adc(rng):
+    n, d, m = 1200, 32, 8
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    books = pq_train(jnp.asarray(x), m, 256, iters=8, chunk=512)
+    codes = pq_encode(jnp.asarray(x), books, chunk=512)
+    recon = np.asarray(pq_decode(codes, books))
+    err = np.linalg.norm(recon - x, axis=1).mean()
+    assert err < 0.7  # much better than random (norm-1 vectors)
+
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    lut = adc_lut(jnp.asarray(q), books)
+    s = np.asarray(adc_score(lut, codes[:50]))
+    want = q @ recon[:50].T
+    np.testing.assert_allclose(s, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sort_by_list():
+    a = np.asarray([2, 0, 1, 0, 2, 2], np.int32)
+    perm, offsets = sort_by_list(a, 4)
+    np.testing.assert_array_equal(a[perm], [0, 0, 1, 2, 2, 2])
+    np.testing.assert_array_equal(offsets, [0, 2, 3, 6, 6])
+
+
+def _brute_adc_topk(q, books, codes, depth):
+    lut = adc_lut(jnp.asarray(q), books)
+    s = np.asarray(adc_score(lut, jnp.asarray(codes)))
+    idx = np.argsort(-s, axis=1)[:, :depth]
+    return np.take_along_axis(s, idx, axis=1), idx
+
+
+def test_ivf_probe_exact_when_probing_all(rng):
+    n, d, K, m = 3000, 32, 16, 8
+    x, _, _ = blobs(rng, n, K, d, scale=0.2)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cents, assign = kmeans(jnp.asarray(x), K, iters=8, chunk=512)
+    books = pq_train(jnp.asarray(x), m, 256, iters=6, chunk=512)
+    codes = np.asarray(pq_encode(jnp.asarray(x), books, chunk=512))
+    perm, offsets = sort_by_list(np.asarray(assign), K)
+    codes_sorted = codes[perm]
+    cap = int((offsets[1:] - offsets[:-1]).max())
+
+    q = rng.normal(size=(5, d)).astype(np.float32)
+    scores, rows = ivf_probe_adc(
+        jnp.asarray(q), cents, books, jnp.asarray(codes_sorted), jnp.asarray(offsets),
+        nprobe=K, cap=cap, depth=10, token_chunk=4,
+    )
+    want_s, want_idx = _brute_adc_topk(q, books, codes, 10)
+    got_ids = perm[np.asarray(rows)]
+    np.testing.assert_allclose(np.asarray(scores), want_s, rtol=1e-4, atol=1e-4)
+    # ids may differ on ties; compare via scores of selected ids
+    lut = adc_lut(jnp.asarray(q), books)
+    s_all = np.asarray(adc_score(lut, jnp.asarray(codes)))
+    sel = np.take_along_axis(s_all, got_ids, axis=1)
+    np.testing.assert_allclose(sel, want_s, rtol=1e-4, atol=1e-4)
+
+
+def test_ivf_probe_partial_recall(rng):
+    n, d, K, m = 4000, 32, 32, 8
+    x, _, _ = blobs(rng, n, K, d, scale=0.15)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cents, assign = kmeans(jnp.asarray(x), K, iters=8, chunk=512)
+    books = pq_train(jnp.asarray(x), m, 256, iters=6, chunk=512)
+    codes = np.asarray(pq_encode(jnp.asarray(x), books, chunk=512))
+    perm, offsets = sort_by_list(np.asarray(assign), K)
+    cap = int((offsets[1:] - offsets[:-1]).max())
+    # queries near data points
+    q = x[rng.integers(0, n, size=8)] + 0.01 * rng.normal(size=(8, d)).astype(np.float32)
+    q = q.astype(np.float32)
+    scores, rows = ivf_probe_adc(
+        jnp.asarray(q), cents, books, jnp.asarray(codes[perm]), jnp.asarray(offsets),
+        nprobe=8, cap=cap, depth=20, token_chunk=8,
+    )
+    got_ids = perm[np.asarray(rows)]
+    _, want_idx = _brute_adc_topk(q, books, codes, 20)
+    recall = np.mean([len(set(got_ids[i]) & set(want_idx[i])) / 20 for i in range(8)])
+    assert recall > 0.7, recall
+
+
+def test_dedup_pids_by_score():
+    pids = jnp.asarray([3, 1, 3, 2, 1, -1, 2, 3], jnp.int32)
+    scores = jnp.asarray([0.5, 0.9, 0.7, 0.1, 0.2, -np.inf, 0.4, 0.3], jnp.float32)
+    out_pids, out_scores = dedup_pids_by_score(pids, scores, max_out=4)
+    got = dict(zip(np.asarray(out_pids).tolist(), np.asarray(out_scores).tolist()))
+    assert got.pop(-1, None) is not None or len(got) == 3
+    assert got[1] == pytest.approx(0.9)
+    assert got[3] == pytest.approx(0.7)
+    assert got[2] == pytest.approx(0.4)
