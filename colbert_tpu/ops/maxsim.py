@@ -122,6 +122,25 @@ def maxsim_pallas(
     return out[:nq, :nd]
 
 
+def maxsim_qd(
+    Q: jax.Array,
+    D: jax.Array,
+    q_mask: Optional[jax.Array] = None,
+    d_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-query candidate MaxSim: Q (B, m, h), D (B, C, n, h) -> (B, C).
+
+    The serving re-rank shape: each query has its own candidate set (the
+    reference loops queries one at a time, ``dense_server_client.py:44-48``;
+    here the whole batch is one einsum)."""
+    if q_mask is not None:
+        Q = Q * q_mask[..., None].astype(Q.dtype)
+    if d_mask is not None:
+        D = D * d_mask[..., None].astype(D.dtype)
+    sim = jnp.einsum("bmh,bcnh->bcmn", Q, D, preferred_element_type=jnp.float32)
+    return sim.max(axis=-1).sum(axis=-1)
+
+
 def maxsim(
     Q: jax.Array,
     D: jax.Array,

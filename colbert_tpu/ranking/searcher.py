@@ -1,0 +1,215 @@
+"""Fused end-to-end query pipeline.
+
+One jitted program replaces the reference's serve path
+(``dense_server_client.py:35-49`` + ``colbert_ranker.py``):
+
+    encode -> IVF probe -> ADC -> emb->pid -> dedup -> gather -> MaxSim -> top-k
+
+Key redesigns vs the reference:
+
+* the reference re-ranks **one query at a time** on the host
+  (``dense_server_client.py:44``, flagged in SURVEY §3.4 as a serving
+  inefficiency) — here the whole query batch flows through one program;
+* ``emb2pid`` lookup + per-query uniq ran on CPU with a Pool(16)
+  (``colbert_ranker.py:212-229``) — here it's a device-side sort/segment-max
+  (:func:`colbert_tpu.ops.ivf.dedup_pids_by_score`);
+* the pinned-memory ``as_strided`` stride-bucket gather
+  (``colbert_ranker.py:45-59,96-109``) becomes a static-shape CSR gather
+  from the HBM-resident embedding table — the same trick for multiview
+  (every doc exactly ``d_view`` rows) and ragged docs (``doc_offsets`` +
+  masked ``cap`` window).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colbert_tpu.config import ColbertConfig
+from colbert_tpu.indexing.storage import IndexStorage
+from colbert_tpu.models import ColbertModel
+from colbert_tpu.models.sharding import param_shardings
+from colbert_tpu.ops.ivf import dedup_pids_by_score, ivf_probe_adc
+from colbert_tpu.ops.maxsim import maxsim_qd
+from colbert_tpu.parallel.mesh import make_mesh
+from colbert_tpu.tokenization import ColbertTokenizer
+from colbert_tpu.utils.logging import Timers, get_logger
+
+logger = get_logger("searcher")
+
+
+@dataclass
+class SearchResult:
+    pids: np.ndarray    # (B, topk) int32, -1 padded
+    scores: np.ndarray  # (B, topk) fp32
+
+
+class ColbertSearcher:
+    def __init__(
+        self,
+        cfg: ColbertConfig,
+        tokenizer: ColbertTokenizer,
+        params: Any,
+        storage: IndexStorage,
+        mesh=None,
+        rerank_dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.data, cfg.mesh.model)
+        self.model = ColbertModel(cfg.model, cfg.multiview)
+        self.params = jax.device_put(params, param_shardings(params, self.mesh))
+        self.timers = Timers()
+
+        meta = storage.read_meta()
+        ivf = storage.read_ivf()
+        doclens = np.asarray(storage.read_doclens(), np.int32)
+        self.num_docs = len(doclens)
+
+        # device-resident index state
+        self.coarse = jnp.asarray(ivf["coarse_centroids"], jnp.float32)
+        self.codebooks = jnp.asarray(ivf["codebooks"], jnp.float32)
+        self.codes = jnp.asarray(ivf["codes"])
+        self.row_emb = jnp.asarray(ivf["row_emb"], jnp.int32)
+        self.offsets = jnp.asarray(ivf["offsets"], jnp.int32)
+        self.emb2pid = jnp.asarray(ivf["emb2pid"], jnp.int32)
+        emb_table = storage.load_all_embeddings().astype(np.float32)
+        self.emb_table = jnp.asarray(emb_table, rerank_dtype)
+        self.doc_offsets = jnp.asarray(IndexStorage.doc_offsets_from_doclens(doclens.tolist()), jnp.int32)
+        self.doclens = jnp.asarray(doclens, jnp.int32)
+
+        lens = ivf["offsets"][1:] - ivf["offsets"][:-1]
+        self.max_list_len = int(lens.max()) if lens.size else 1
+        self.rerank_cap = (
+            self.cfg.multiview.d_view if meta.get("multiview", True) else int(doclens.max() or 1)
+        )
+        self._search_fns = {}
+
+    # ---- jitted pipeline ----
+
+    def _make_search_fn(self, topk: int, nprobe: int, depth: int, cap: int, max_cand: int, query_chunk: int):
+        model = self.model
+        q_view = self.cfg.multiview.q_view if self.cfg.multiview.enabled else self.cfg.tokenizer.query_maxlen
+        rerank_cap = self.rerank_cap
+
+        def fn(params, coarse, codebooks, codes, offsets, row_emb, emb2pid,
+               emb_table, doc_offsets, doclens, q_ids, q_attn, q_active):
+            B = q_ids.shape[0]
+            Q = model.apply({"params": params}, q_ids, q_attn, method=model.query)  # (B, qv, dim)
+            qm = q_active.astype(Q.dtype)
+            Qm = Q * qm[..., None]
+
+            # --- candidate generation: per token probe + ADC ---
+            tokens = Qm.reshape(B * q_view, -1)
+            adc_scores, rows = ivf_probe_adc(
+                tokens, coarse, codebooks, codes, offsets,
+                nprobe=nprobe, cap=cap, depth=depth, token_chunk=min(32, B * q_view),
+            )  # (B*qv, depth)
+            emb_ids = jnp.where(rows >= 0, row_emb[jnp.maximum(rows, 0)], -1)
+            pids = jnp.where(emb_ids >= 0, emb2pid[jnp.maximum(emb_ids, 0)], -1)
+            # dead query tokens (masked) contribute nothing
+            token_valid = q_active.reshape(B * q_view) > 0
+            pids = jnp.where(token_valid[:, None], pids, -1)
+            adc_scores = jnp.where(token_valid[:, None], adc_scores, -jnp.inf)
+            pids = pids.reshape(B, q_view * depth)
+            adc_scores = adc_scores.reshape(B, q_view * depth)
+
+            # --- per-query dedup + exact re-rank, chunked over queries ---
+            def query_chunk_body(inp):
+                p, s, q, qmask = inp  # (qc, qv*depth), ..., (qc, qv, dim), (qc, qv)
+                cand, _ = jax.vmap(lambda pp, ss: dedup_pids_by_score(pp, ss, max_cand))(p, s)
+                safe = jnp.maximum(cand, 0)
+                base = doc_offsets[safe]                       # (qc, max_cand)
+                ln = doclens[safe]
+                idx = base[..., None] + jnp.arange(rerank_cap)[None, None, :]
+                valid = (jnp.arange(rerank_cap)[None, None, :] < ln[..., None]) & (cand >= 0)[..., None]
+                idx = jnp.clip(idx, 0, emb_table.shape[0] - 1)
+                D = emb_table[idx.reshape(idx.shape[0], -1)].reshape(
+                    idx.shape[0], max_cand, rerank_cap, -1
+                )
+                scores = maxsim_qd(q.astype(emb_table.dtype), D, qmask, valid.astype(emb_table.dtype))
+                scores = jnp.where(cand >= 0, scores, -jnp.inf)
+                k = min(topk, max_cand)
+                ts, ti = jax.lax.top_k(scores, k)
+                tp = jnp.take_along_axis(cand, ti, axis=1)
+                tp = jnp.where(jnp.isfinite(ts), tp, -1)
+                return ts, tp
+
+            n_chunks = -(-B // query_chunk)
+            B_pad = n_chunks * query_chunk
+            padq = lambda a: jnp.pad(a, [(0, B_pad - B)] + [(0, 0)] * (a.ndim - 1))
+            ts, tp = jax.lax.map(
+                query_chunk_body,
+                (
+                    padq(pids).reshape(n_chunks, query_chunk, -1),
+                    padq(adc_scores).reshape(n_chunks, query_chunk, -1),
+                    padq(Qm).reshape(n_chunks, query_chunk, q_view, -1),
+                    padq(qm).reshape(n_chunks, query_chunk, q_view),
+                ),
+            )
+            k = ts.shape[-1]
+            return ts.reshape(B_pad, k)[:B], tp.reshape(B_pad, k)[:B]
+
+        return jax.jit(fn)
+
+    # ---- public API ----
+
+    def search(
+        self,
+        questions: Sequence[str],
+        topk: Optional[int] = None,
+        nprobe: Optional[int] = None,
+        depth: Optional[int] = None,
+        query_chunk: int = 8,
+    ) -> SearchResult:
+        s = self.cfg.serve
+        topk = topk or s.topk
+        nprobe = min(nprobe or s.nprobe, int(self.coarse.shape[0]))
+        depth = depth or s.candidate_depth
+        cap = self.max_list_len
+        max_cand = min(s.max_candidates, self.num_docs)
+        key = (topk, nprobe, depth, cap, max_cand, query_chunk)
+        if key not in self._search_fns:
+            self._search_fns[key] = self._make_search_fn(*key)
+        fn = self._search_fns[key]
+
+        enc = self.tok.encode_queries(list(questions))
+        B = enc.input_ids.shape[0]
+        with self.timers.span("search"):
+            ts, tp = fn(
+                self.params, self.coarse, self.codebooks, self.codes, self.offsets,
+                self.row_emb, self.emb2pid, self.emb_table, self.doc_offsets, self.doclens,
+                jnp.asarray(enc.input_ids), jnp.asarray(enc.attention_mask), jnp.asarray(enc.active_mask),
+            )
+        return SearchResult(np.asarray(tp), np.asarray(ts))
+
+    def search_brute_force(self, questions: Sequence[str], topk: int) -> SearchResult:
+        """Exact MaxSim over the WHOLE corpus (no ANN) — the recall oracle
+        (BASELINE config 1; SURVEY §7 step 2)."""
+        enc = self.tok.encode_queries(list(questions))
+        Q = self.model.apply(
+            {"params": self.params}, jnp.asarray(enc.input_ids), jnp.asarray(enc.attention_mask),
+            method=self.model.query,
+        )
+        Qm = Q * jnp.asarray(enc.active_mask, Q.dtype)[..., None]
+        B = Q.shape[0]
+        cap = self.rerank_cap
+        all_pids = jnp.arange(self.num_docs, dtype=jnp.int32)
+        base = self.doc_offsets[all_pids]
+        idx = base[:, None] + jnp.arange(cap)[None, :]
+        valid = jnp.arange(cap)[None, :] < self.doclens[:, None]
+        idx = jnp.clip(idx, 0, self.emb_table.shape[0] - 1)
+        D = self.emb_table[idx.reshape(-1)].reshape(self.num_docs, cap, -1)
+        from colbert_tpu.ops.maxsim import maxsim_xla
+
+        scores = maxsim_xla(
+            Qm.astype(jnp.float32), D.astype(jnp.float32), None, valid.astype(jnp.float32)
+        )
+        k = min(topk, self.num_docs)
+        ts, tp = jax.lax.top_k(scores, k)
+        return SearchResult(np.asarray(tp, np.int32), np.asarray(ts))
