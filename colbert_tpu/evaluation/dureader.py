@@ -1,0 +1,86 @@
+"""DuReader corpus / dataset adapters + hard-negative mining generators.
+
+Capability parity with ``proj_utils/dureader_utils.py``:
+
+* :func:`load_tsv_corpus` — read TSV shards, passage text from a chosen
+  column (reference reads 4 shards ``part-0{0..3}``, col 2, ``:17-27``);
+* :func:`gen_ce_data` — CE training data: top-k retrieval results minus
+  positives as hard negatives (``gen_ce``, ``:30-36``);
+* :func:`gen_iter_train_dev` — iterative hard-negative mining: keep 10 old
+  negatives + fresh top-50 retrievals not already present
+  (``gen_iter_colbert_train_dev``, ``:76-83``);
+* :func:`gen_dev_for_ce_test` — top-k candidates for CE rerank evaluation
+  (``gen_dev_for_ce_test``, ``:39-48``).
+
+All functions are pure (data in, data out) — no hardcoded paths.
+"""
+
+from __future__ import annotations
+
+import csv
+import sys
+from pathlib import Path
+from typing import Any, Dict, Iterable, List, Sequence
+
+
+def load_tsv_corpus(paths: Sequence[str | Path], text_col: int = 2, delimiter: str = "\t") -> List[str]:
+    """Concatenate passage texts from TSV shards (order = shard order)."""
+    csv.field_size_limit(sys.maxsize)
+    out: List[str] = []
+    for p in paths:
+        with open(p, "r", encoding="utf8", newline="") as f:
+            for row in csv.reader(f, delimiter=delimiter):
+                if len(row) > text_col:
+                    out.append(row[text_col])
+    return out
+
+
+def gen_ce_data(examples: Iterable[Dict[str, Any]], top: int = 50) -> List[Dict[str, Any]]:
+    """CE hard negatives: top-``top`` retrieval results minus positives.
+    Each example carries ``res``: [(pid, score, text), ...]."""
+    out = []
+    for t in examples:
+        pos = set(t["positive_ctxs"])
+        negs = [r[2] for r in t["res"][:top] if r[2] not in pos]
+        out.append(
+            {
+                "question": t["question"],
+                "positive_ctxs": list(t["positive_ctxs"]),
+                "hard_negative_ctxs": negs,
+            }
+        )
+    return out
+
+
+def gen_iter_train_dev(
+    examples: Iterable[Dict[str, Any]], keep_old: int = 10, top: int = 50
+) -> List[Dict[str, Any]]:
+    """Iterative hard-negative refresh: ``keep_old`` previous negatives plus
+    fresh top-``top`` retrievals not already kept."""
+    out = []
+    for t in examples:
+        old = list(t["hard_negative_ctxs"][:keep_old])
+        old_set = set(old)
+        fresh = [r[2] for r in t["res"][:top] if r[2] not in old_set]
+        out.append(
+            {
+                "question": t["question"],
+                "positive_ctxs": list(t["positive_ctxs"]),
+                "hard_negative_ctxs": old + fresh,
+            }
+        )
+    return out
+
+
+def gen_dev_for_ce_test(examples: Iterable[Dict[str, Any]], top: int = 300) -> List[Dict[str, Any]]:
+    """Package retrieval results for CE rerank evaluation."""
+    out = []
+    for t in examples:
+        out.append(
+            {
+                "question": t["question"],
+                "positive_ctxs": list(t["positive_ctxs"]),
+                "retrieval_res": [r[2] for r in t["res"][:top]],
+            }
+        )
+    return out

@@ -1,0 +1,156 @@
+"""Retrieval serving: in-process service + socket server/client + evaluator.
+
+Protocol parity with the reference (``dense_server_client.py:21-78``):
+requests are ``(questions, topk, candidate_depth, nprobe)`` tuples over a
+``multiprocessing.connection`` socket; responses are per-question lists of
+``(pid, score, paragraph_text)`` triples.  Improvements over the reference:
+
+* queries flow through the fused batched searcher (the reference re-ranked
+  one query at a time on the host, SURVEY §3.4);
+* errors return a structured ``{"error": ...}`` payload instead of being
+  swallowed by a bare except (``dense_server_client.py:64-65``);
+* the service is usable in-process (no IPC) — the server is a thin shell.
+"""
+
+from __future__ import annotations
+
+import threading
+import traceback
+from multiprocessing.connection import Client as MPClient, Listener
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from colbert_tpu.config import ColbertConfig
+from colbert_tpu.evaluation.metrics import eval_retrieval
+from colbert_tpu.ranking.searcher import ColbertSearcher
+from colbert_tpu.utils.logging import get_logger
+
+logger = get_logger("serving")
+
+Triple = Tuple[int, float, str]
+
+
+class RetrievalService:
+    """Batched retrieval over a searcher + in-RAM passage texts
+    (the reference holds the full corpus in RAM too, ``dense_server_client.py:33``)."""
+
+    def __init__(self, searcher: ColbertSearcher, corpus: Sequence[str], cfg: Optional[ColbertConfig] = None):
+        self.searcher = searcher
+        self.corpus = corpus
+        self.cfg = cfg or searcher.cfg
+
+    def retrieve(
+        self,
+        questions: Sequence[str],
+        topk: Optional[int] = None,
+        depth: Optional[int] = None,
+        nprobe: Optional[int] = None,
+    ) -> List[List[Triple]]:
+        s = self.cfg.serve
+        topk = topk or s.topk
+        out: List[List[Triple]] = []
+        bs = s.query_batch_size
+        for lo in range(0, len(questions), bs):
+            chunk = list(questions[lo : lo + bs])
+            res = self.searcher.search(chunk, topk=topk, nprobe=nprobe, depth=depth)
+            for i in range(len(chunk)):
+                row: List[Triple] = []
+                for pid, score in zip(res.pids[i], res.scores[i]):
+                    if pid < 0:
+                        continue
+                    row.append((int(pid), float(score), self.corpus[int(pid)]))
+                out.append(row)
+        return out
+
+
+class RetrievalServer:
+    def __init__(self, service: RetrievalService, host: Optional[str] = None, port: Optional[int] = None, authkey: Optional[bytes] = None):
+        s = service.cfg.serve
+        self.service = service
+        self.address = (host or s.host, port or s.port)
+        self.authkey = authkey or s.authkey.encode()
+        self._stop = threading.Event()
+        self._listener: Optional[Listener] = None
+
+    def serve_forever(self) -> None:
+        self._listener = Listener(self.address, authkey=self.authkey)
+        logger.info("retrieval server listening on %s", self.address)
+        while not self._stop.is_set():
+            try:
+                conn = self._listener.accept()
+            except (OSError, EOFError):
+                break
+            try:
+                while True:
+                    try:
+                        req = conn.recv()
+                    except EOFError:
+                        break
+                    if req == "__shutdown__":
+                        self._stop.set()
+                        conn.send({"ok": True})
+                        break
+                    try:
+                        questions, topk, depth, nprobe = req
+                        res = self.service.retrieve(questions, topk=topk, depth=depth, nprobe=nprobe)
+                        conn.send(res)
+                    except Exception as e:  # noqa: BLE001 — report, don't die
+                        logger.error("retrieval error: %s", traceback.format_exc())
+                        conn.send({"error": f"{type(e).__name__}: {e}"})
+            finally:
+                conn.close()
+        self._listener.close()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._listener is not None:
+            try:
+                self._listener.close()
+            except OSError:
+                pass
+
+
+class RetrievalClient:
+    def __init__(self, host: str = "127.0.0.1", port: int = 9090, authkey: bytes = b"colbert-tpu"):
+        self.address = (host, port)
+        self.authkey = authkey
+
+    def retrieve(
+        self, questions: Sequence[str], topk: int = 100, depth: int = 512, nprobe: int = 128
+    ) -> List[List[Triple]]:
+        with MPClient(self.address, authkey=self.authkey) as conn:
+            conn.send((list(questions), topk, depth, nprobe))
+            res = conn.recv()
+        if isinstance(res, dict) and "error" in res:
+            raise RuntimeError(res["error"])
+        return res
+
+    def shutdown(self) -> None:
+        with MPClient(self.address, authkey=self.authkey) as conn:
+            conn.send("__shutdown__")
+            conn.recv()
+
+
+def evaluate_retrieval(
+    retrieve_fn,
+    eval_data: Sequence[Dict[str, Any]],
+    topk: int = 100,
+    batch: int = 1024,
+    recall_topk: Sequence[int] = (50, 100),
+) -> Dict[str, float]:
+    """End-to-end eval driver (parity with ``dureader_evaluate``,
+    ``dense_server_client.py:87-130``): retrieve in batches, attach ``res``,
+    compute MRR@10 / recall@k."""
+    out = []
+    for lo in range(0, len(eval_data), batch):
+        chunk = list(eval_data[lo : lo + batch])
+        res = retrieve_fn([t["question"] for t in chunk], topk)
+        for t, r in zip(chunk, res):
+            out.append({**t, "res": r})
+    return eval_retrieval(out, topk=10, recall_topk=recall_topk)
