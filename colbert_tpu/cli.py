@@ -1,0 +1,219 @@
+"""Command-line driver — the five-stage pipeline of the reference's
+``eval.sh`` (train / index / faiss / server / evaluate + traince) as one CLI:
+
+    python -m colbert_tpu.cli train        --config conf.yaml --train-data t.json --dev-data d.json
+    python -m colbert_tpu.cli train-ce     --config conf.yaml --train-data t.json
+    python -m colbert_tpu.cli encode       --config conf.yaml --corpus corpus.tsv [--checkpoint-step N]
+    python -m colbert_tpu.cli build-index  --config conf.yaml
+    python -m colbert_tpu.cli serve        --config conf.yaml --corpus corpus.tsv
+    python -m colbert_tpu.cli evaluate     --config conf.yaml --eval-data dev.json [--remote]
+    python -m colbert_tpu.cli mine         --config conf.yaml --eval-data train.json --out out.json
+
+Overrides: repeated ``--set key=value`` with dotted keys
+(e.g. ``--set train.learning_rate=1e-5``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import sys
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+from colbert_tpu.config import ColbertConfig, load_config
+from colbert_tpu.utils.io import dump_json, load_json
+from colbert_tpu.utils.logging import get_logger
+
+logger = get_logger("cli")
+
+
+def _parse_overrides(pairs: List[str]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for p in pairs:
+        k, _, v = p.partition("=")
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
+def _load_cfg(args) -> ColbertConfig:
+    return load_config(args.config, _parse_overrides(args.set or []))
+
+
+def _tokenizer(cfg: ColbertConfig):
+    from colbert_tpu.tokenization import ColbertTokenizer
+
+    return ColbertTokenizer(cfg.tokenizer, cfg.multiview)
+
+
+def _load_corpus(path: str) -> List[str]:
+    if path.endswith(".json"):
+        return load_json(path)
+    from colbert_tpu.evaluation import load_tsv_corpus
+
+    return load_tsv_corpus([path])
+
+
+def _retriever_params(cfg: ColbertConfig, tok, checkpoint_step: Optional[int], pretrain: Optional[str]):
+    """Resolve retriever params: trained checkpoint > torch pretrain > error."""
+    from colbert_tpu.training import ColbertTrainer
+
+    trainer = ColbertTrainer(cfg, tok)
+    if pretrain:
+        from colbert_tpu.models.convert import colbert_params_from_torch
+
+        return colbert_params_from_torch(pretrain, cfg.model)
+    return trainer.load_params_for_inference(checkpoint_step)
+
+
+def cmd_train(args) -> None:
+    cfg = _load_cfg(args)
+    tok = _tokenizer(cfg)
+    from colbert_tpu.training import ColbertTrainer, RetrievalDataset
+
+    init_params = None
+    if args.pretrain:
+        from colbert_tpu.models.convert import colbert_params_from_torch
+
+        init_params = colbert_params_from_torch(args.pretrain, cfg.model)
+    trainer = ColbertTrainer(cfg, tok, init_params=init_params)
+    train_ds = RetrievalDataset.from_json(args.train_data)
+    dev_ds = RetrievalDataset.from_json(args.dev_data) if args.dev_data else None
+    trainer.train(train_ds, dev_ds=dev_ds, resume=args.resume)
+
+
+def cmd_train_ce(args) -> None:
+    cfg = _load_cfg(args)
+    tok = _tokenizer(cfg)
+    from colbert_tpu.training import CETrainer, RetrievalDataset
+
+    init_params = None
+    if args.pretrain:
+        from colbert_tpu.models.convert import ce_params_from_torch
+
+        init_params = ce_params_from_torch(args.pretrain, cfg.ce_model)
+    trainer = CETrainer(cfg, tok, init_params=init_params)
+    train_ds = RetrievalDataset.from_json(args.train_data)
+    dev_ds = RetrievalDataset.from_json(args.dev_data) if args.dev_data else None
+    trainer.train(train_ds, dev_ds=dev_ds)
+
+
+def cmd_encode(args) -> None:
+    cfg = _load_cfg(args)
+    tok = _tokenizer(cfg)
+    from colbert_tpu.indexing import CollectionEncoder
+
+    params = _retriever_params(cfg, tok, args.checkpoint_step, args.pretrain)
+    texts = _load_corpus(args.corpus)
+    CollectionEncoder(cfg, tok, params).encode_corpus(texts, cfg.index.index_path)
+
+
+def cmd_build_index(args) -> None:
+    cfg = _load_cfg(args)
+    from colbert_tpu.indexing import IndexBuilder, IndexStorage
+
+    storage = IndexStorage(cfg.index.index_path)
+    IndexBuilder(cfg, storage).build()
+
+
+def _make_service(cfg: ColbertConfig, args):
+    from colbert_tpu.indexing import IndexStorage
+    from colbert_tpu.ranking import ColbertSearcher
+    from colbert_tpu.serving import RetrievalService
+
+    tok = _tokenizer(cfg)
+    params = _retriever_params(cfg, tok, args.checkpoint_step, args.pretrain)
+    storage = IndexStorage(cfg.index.index_path)
+    searcher = ColbertSearcher(cfg, tok, params, storage)
+    return RetrievalService(searcher, _load_corpus(args.corpus), cfg)
+
+
+def cmd_serve(args) -> None:
+    cfg = _load_cfg(args)
+    from colbert_tpu.serving import RetrievalServer
+
+    RetrievalServer(_make_service(cfg, args)).serve_forever()
+
+
+def cmd_evaluate(args) -> None:
+    cfg = _load_cfg(args)
+    from colbert_tpu.serving import evaluate_retrieval
+
+    eval_data = load_json(args.eval_data)
+    if args.remote:
+        from colbert_tpu.serving import RetrievalClient
+
+        client = RetrievalClient(cfg.serve.host, cfg.serve.port, cfg.serve.authkey.encode())
+        retrieve = lambda qs, k: client.retrieve(qs, topk=k, depth=cfg.serve.candidate_depth, nprobe=cfg.serve.nprobe)
+    else:
+        service = _make_service(cfg, args)
+        retrieve = lambda qs, k: service.retrieve(qs, topk=k)
+    metrics = evaluate_retrieval(retrieve, eval_data, topk=args.topk)
+    print(json.dumps(metrics, indent=2))
+    if args.out:
+        dump_json(metrics, args.out, indent=2)
+
+
+def cmd_mine(args) -> None:
+    """Iterative hard-negative mining (``gen_iter_colbert_train_dev`` parity)."""
+    cfg = _load_cfg(args)
+    from colbert_tpu.evaluation import gen_iter_train_dev
+
+    service = _make_service(cfg, args)
+    data = load_json(args.eval_data)
+    res = service.retrieve([t["question"] for t in data], topk=args.topk)
+    for t, r in zip(data, res):
+        t["res"] = r
+    dump_json(gen_iter_train_dev(data, keep_old=args.keep_old, top=args.topk), args.out)
+    logger.info("wrote %s", args.out)
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    ap = argparse.ArgumentParser(prog="colbert_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p, corpus=False, data=False):
+        p.add_argument("--config", default=None)
+        p.add_argument("--set", action="append", metavar="KEY=VALUE")
+        p.add_argument("--pretrain", default=None, help="torch checkpoint to convert")
+        p.add_argument("--checkpoint-step", type=int, default=None)
+        if corpus:
+            p.add_argument("--corpus", required=True)
+        if data:
+            p.add_argument("--eval-data", required=True)
+
+    p = sub.add_parser("train"); common(p)
+    p.add_argument("--train-data", required=True); p.add_argument("--dev-data", default=None)
+    p.add_argument("--resume", action="store_true"); p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("train-ce"); common(p)
+    p.add_argument("--train-data", required=True); p.add_argument("--dev-data", default=None)
+    p.set_defaults(fn=cmd_train_ce)
+
+    p = sub.add_parser("encode"); common(p, corpus=True); p.set_defaults(fn=cmd_encode)
+    p = sub.add_parser("build-index"); common(p); p.set_defaults(fn=cmd_build_index)
+    p = sub.add_parser("serve"); common(p, corpus=True); p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("evaluate"); common(p, corpus=False, data=True)
+    p.add_argument("--corpus", default=None)
+    p.add_argument("--remote", action="store_true")
+    p.add_argument("--topk", type=int, default=100)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("mine"); common(p, corpus=True, data=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--topk", type=int, default=50)
+    p.add_argument("--keep-old", type=int, default=10)
+    p.set_defaults(fn=cmd_mine)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -167,6 +167,23 @@ class ColbertSearcher:
         depth: Optional[int] = None,
         query_chunk: int = 8,
     ) -> SearchResult:
+        enc = self.tok.encode_queries(list(questions))
+        return self.search_tokens(
+            enc.input_ids, enc.attention_mask, enc.active_mask,
+            topk=topk, nprobe=nprobe, depth=depth, query_chunk=query_chunk,
+        )
+
+    def search_tokens(
+        self,
+        q_ids,
+        q_attn,
+        q_active,
+        topk: Optional[int] = None,
+        nprobe: Optional[int] = None,
+        depth: Optional[int] = None,
+        query_chunk: int = 8,
+    ) -> SearchResult:
+        """Search from pre-tokenized queries (the fused device pipeline)."""
         s = self.cfg.serve
         topk = topk or s.topk
         nprobe = min(nprobe or s.nprobe, int(self.coarse.shape[0]))
@@ -178,13 +195,11 @@ class ColbertSearcher:
             self._search_fns[key] = self._make_search_fn(*key)
         fn = self._search_fns[key]
 
-        enc = self.tok.encode_queries(list(questions))
-        B = enc.input_ids.shape[0]
         with self.timers.span("search"):
             ts, tp = fn(
                 self.params, self.coarse, self.codebooks, self.codes, self.offsets,
                 self.row_emb, self.emb2pid, self.emb_table, self.doc_offsets, self.doclens,
-                jnp.asarray(enc.input_ids), jnp.asarray(enc.attention_mask), jnp.asarray(enc.active_mask),
+                jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active),
             )
         return SearchResult(np.asarray(tp), np.asarray(ts))
 
