@@ -85,13 +85,15 @@ class IndexBuilder:
                 pos += embs.shape[0]
         assert pos == num_embeddings
 
-        # --- CSR pack + pid map ---
+        # --- CSR pack + pid map (C++ counting sort; numpy fallback) ---
+        from colbert_tpu.native import ivf_pack
+
         with self.timers.span("csr_pack"):
-            perm, offsets = sort_by_list(assignments, partitions)
+            perm, offsets, codes_sorted = ivf_pack(assignments, codes, partitions)
             emb2pid = IndexStorage.emb2pid_from_doclens(doclens)
         self.storage.write_ivf(
             np.asarray(centroids), np.asarray(codebooks),
-            codes[perm], perm.astype(np.int32), offsets, emb2pid,
+            codes_sorted, perm.astype(np.int32), offsets, emb2pid,
         )
         meta.update(
             {

@@ -74,11 +74,14 @@ class CollectionEncoder:
         if self.cfg.multiview.enabled:
             # static d_view vectors per doc, all active
             doclens = [active.shape[1]] * n_real
-            flat = D.reshape(-1, D.shape[-1])
+            flat = D.reshape(-1, D.shape[-1]).astype(np.float16)
         else:
-            doclens = active.sum(axis=1).tolist()
-            flat = D[active]  # ragged compaction (host)
-        return flat.astype(np.float16), doclens
+            # ragged compaction (C++ fast path, numpy fallback)
+            from colbert_tpu.native import compact_active
+
+            flat, dl = compact_active(D.astype(np.float16), active.astype(np.int32))
+            doclens = dl.tolist()
+        return flat, doclens
 
     # ---- corpus pipeline ----
 

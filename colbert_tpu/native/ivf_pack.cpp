@@ -1,0 +1,79 @@
+// Host-side IVF CSR packing: stable counting sort of PQ code rows by
+// coarse-list assignment.
+//
+// TPU-native replacement for the host half of faiss's IVF `add`
+// (reference: colbert/indexing/faiss_index_gpu.py:101-141 — GPU-sharded
+// add with CPU flush).  The device assigns lists and computes codes; this
+// packs them into the flat CSR layout the searcher consumes.  Counting
+// sort is O(N + K) vs numpy argsort's O(N log N), and fuses the
+// permutation-apply over the (N, m) code matrix into the same pass.
+//
+// Exposed via extern "C" for ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// assignments: N int32 in [0, K)
+// codes:       N*m uint8 (row-major)
+// out_perm:    N int32   (original row index per sorted row)
+// out_offsets: K+1 int32
+// out_codes:   N*m uint8 (rows permuted by list, stable)
+// emb2pid:     optional passthrough gather: if src_ids != nullptr,
+//              out_ids[i] = src_ids[perm[i]]
+int ivf_pack(const int32_t* assignments,
+             const uint8_t* codes,
+             int64_t n,
+             int32_t k,
+             int32_t m,
+             int32_t* out_perm,
+             int32_t* out_offsets,
+             uint8_t* out_codes) {
+  if (n < 0 || k <= 0 || m < 0) return -1;
+  std::vector<int64_t> counts(static_cast<size_t>(k) + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t a = assignments[i];
+    if (a < 0 || a >= k) return -2;
+    counts[static_cast<size_t>(a) + 1]++;
+  }
+  for (int32_t l = 0; l < k; ++l) counts[l + 1] += counts[l];
+  for (int32_t l = 0; l <= k; ++l) out_offsets[l] = static_cast<int32_t>(counts[l]);
+  std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t dst = cursor[assignments[i]]++;
+    out_perm[dst] = static_cast<int32_t>(i);
+    std::memcpy(out_codes + dst * m, codes + i * m, static_cast<size_t>(m));
+  }
+  return 0;
+}
+
+// Ragged compaction for the corpus encoder: copy the active rows of a
+// (B, L, dim) fp16 batch into a flat (sum_active, dim) buffer and record
+// per-doc lengths.  Replaces the numpy boolean-mask gather on the host
+// encode path (colbert_tpu/indexing/encoder.py).
+int compact_active(const uint16_t* embs,   // fp16 bits, B*L*dim
+                   const int32_t* active,  // B*L
+                   int64_t b,
+                   int64_t l,
+                   int64_t dim,
+                   uint16_t* out_flat,     // capacity >= total active rows * dim
+                   int32_t* out_doclens) { // B
+  int64_t w = 0;
+  for (int64_t i = 0; i < b; ++i) {
+    int32_t cnt = 0;
+    for (int64_t j = 0; j < l; ++j) {
+      if (active[i * l + j]) {
+        std::memcpy(out_flat + w * dim, embs + (i * l + j) * dim,
+                    static_cast<size_t>(dim) * sizeof(uint16_t));
+        ++w;
+        ++cnt;
+      }
+    }
+    out_doclens[i] = cnt;
+  }
+  return 0;
+}
+
+}  // extern "C"
