@@ -49,6 +49,82 @@ class SearchResult:
     scores: np.ndarray  # (B, topk) fp32
 
 
+def retrieval_core(
+    Qm: jax.Array,        # (B, qv, dim) masked query reps
+    qm: jax.Array,        # (B, qv) active mask
+    coarse: jax.Array,
+    codebooks: jax.Array,
+    codes: jax.Array,
+    offsets: jax.Array,
+    row_emb: jax.Array,
+    emb2pid: jax.Array,
+    emb_table: jax.Array,
+    doc_offsets: jax.Array,
+    doclens: jax.Array,
+    *,
+    nprobe: int,
+    cap: int,
+    depth: int,
+    max_cand: int,
+    rerank_cap: int,
+    topk: int,
+    query_chunk: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Everything after query encode: probe -> ADC -> dedup -> gather ->
+    exact MaxSim -> local top-k.  Pure function of device arrays so it can
+    run standalone (single chip) or per-shard inside shard_map."""
+    B, q_view, _ = Qm.shape
+
+    tokens = Qm.reshape(B * q_view, -1)
+    adc_scores, rows = ivf_probe_adc(
+        tokens, coarse, codebooks, codes, offsets,
+        nprobe=nprobe, cap=cap, depth=depth, token_chunk=min(32, B * q_view),
+    )  # (B*qv, depth)
+    emb_ids = jnp.where(rows >= 0, row_emb[jnp.maximum(rows, 0)], -1)
+    pids = jnp.where(emb_ids >= 0, emb2pid[jnp.maximum(emb_ids, 0)], -1)
+    # dead query tokens (masked) contribute nothing
+    token_valid = qm.reshape(B * q_view) > 0
+    pids = jnp.where(token_valid[:, None], pids, -1)
+    adc_scores = jnp.where(token_valid[:, None], adc_scores, -jnp.inf)
+    pids = pids.reshape(B, q_view * depth)
+    adc_scores = adc_scores.reshape(B, q_view * depth)
+
+    def query_chunk_body(inp):
+        p, s, q, qmask = inp  # (qc, qv*depth), ..., (qc, qv, dim), (qc, qv)
+        cand, _ = jax.vmap(lambda pp, ss: dedup_pids_by_score(pp, ss, max_cand))(p, s)
+        safe = jnp.maximum(cand, 0)
+        base = doc_offsets[safe]                       # (qc, max_cand)
+        ln = doclens[safe]
+        idx = base[..., None] + jnp.arange(rerank_cap)[None, None, :]
+        valid = (jnp.arange(rerank_cap)[None, None, :] < ln[..., None]) & (cand >= 0)[..., None]
+        idx = jnp.clip(idx, 0, emb_table.shape[0] - 1)
+        D = emb_table[idx.reshape(idx.shape[0], -1)].reshape(
+            idx.shape[0], max_cand, rerank_cap, -1
+        )
+        scores = maxsim_qd(q.astype(emb_table.dtype), D, qmask, valid.astype(emb_table.dtype))
+        scores = jnp.where(cand >= 0, scores, -jnp.inf)
+        k = min(topk, max_cand)
+        ts, ti = jax.lax.top_k(scores, k)
+        tp = jnp.take_along_axis(cand, ti, axis=1)
+        tp = jnp.where(jnp.isfinite(ts), tp, -1)
+        return ts, tp
+
+    n_chunks = -(-B // query_chunk)
+    B_pad = n_chunks * query_chunk
+    padq = lambda a: jnp.pad(a, [(0, B_pad - B)] + [(0, 0)] * (a.ndim - 1))
+    ts, tp = jax.lax.map(
+        query_chunk_body,
+        (
+            padq(pids).reshape(n_chunks, query_chunk, -1),
+            padq(adc_scores).reshape(n_chunks, query_chunk, -1),
+            padq(Qm).reshape(n_chunks, query_chunk, q_view, -1),
+            padq(qm).reshape(n_chunks, query_chunk, q_view),
+        ),
+    )
+    k = ts.shape[-1]
+    return ts.reshape(B_pad, k)[:B], tp.reshape(B_pad, k)[:B]
+
+
 class ColbertSearcher:
     def __init__(
         self,
@@ -99,61 +175,15 @@ class ColbertSearcher:
 
         def fn(params, coarse, codebooks, codes, offsets, row_emb, emb2pid,
                emb_table, doc_offsets, doclens, q_ids, q_attn, q_active):
-            B = q_ids.shape[0]
             Q = model.apply({"params": params}, q_ids, q_attn, method=model.query)  # (B, qv, dim)
             qm = q_active.astype(Q.dtype)
             Qm = Q * qm[..., None]
-
-            # --- candidate generation: per token probe + ADC ---
-            tokens = Qm.reshape(B * q_view, -1)
-            adc_scores, rows = ivf_probe_adc(
-                tokens, coarse, codebooks, codes, offsets,
-                nprobe=nprobe, cap=cap, depth=depth, token_chunk=min(32, B * q_view),
-            )  # (B*qv, depth)
-            emb_ids = jnp.where(rows >= 0, row_emb[jnp.maximum(rows, 0)], -1)
-            pids = jnp.where(emb_ids >= 0, emb2pid[jnp.maximum(emb_ids, 0)], -1)
-            # dead query tokens (masked) contribute nothing
-            token_valid = q_active.reshape(B * q_view) > 0
-            pids = jnp.where(token_valid[:, None], pids, -1)
-            adc_scores = jnp.where(token_valid[:, None], adc_scores, -jnp.inf)
-            pids = pids.reshape(B, q_view * depth)
-            adc_scores = adc_scores.reshape(B, q_view * depth)
-
-            # --- per-query dedup + exact re-rank, chunked over queries ---
-            def query_chunk_body(inp):
-                p, s, q, qmask = inp  # (qc, qv*depth), ..., (qc, qv, dim), (qc, qv)
-                cand, _ = jax.vmap(lambda pp, ss: dedup_pids_by_score(pp, ss, max_cand))(p, s)
-                safe = jnp.maximum(cand, 0)
-                base = doc_offsets[safe]                       # (qc, max_cand)
-                ln = doclens[safe]
-                idx = base[..., None] + jnp.arange(rerank_cap)[None, None, :]
-                valid = (jnp.arange(rerank_cap)[None, None, :] < ln[..., None]) & (cand >= 0)[..., None]
-                idx = jnp.clip(idx, 0, emb_table.shape[0] - 1)
-                D = emb_table[idx.reshape(idx.shape[0], -1)].reshape(
-                    idx.shape[0], max_cand, rerank_cap, -1
-                )
-                scores = maxsim_qd(q.astype(emb_table.dtype), D, qmask, valid.astype(emb_table.dtype))
-                scores = jnp.where(cand >= 0, scores, -jnp.inf)
-                k = min(topk, max_cand)
-                ts, ti = jax.lax.top_k(scores, k)
-                tp = jnp.take_along_axis(cand, ti, axis=1)
-                tp = jnp.where(jnp.isfinite(ts), tp, -1)
-                return ts, tp
-
-            n_chunks = -(-B // query_chunk)
-            B_pad = n_chunks * query_chunk
-            padq = lambda a: jnp.pad(a, [(0, B_pad - B)] + [(0, 0)] * (a.ndim - 1))
-            ts, tp = jax.lax.map(
-                query_chunk_body,
-                (
-                    padq(pids).reshape(n_chunks, query_chunk, -1),
-                    padq(adc_scores).reshape(n_chunks, query_chunk, -1),
-                    padq(Qm).reshape(n_chunks, query_chunk, q_view, -1),
-                    padq(qm).reshape(n_chunks, query_chunk, q_view),
-                ),
+            return retrieval_core(
+                Qm, qm, coarse, codebooks, codes, offsets, row_emb, emb2pid,
+                emb_table, doc_offsets, doclens,
+                nprobe=nprobe, cap=cap, depth=depth, max_cand=max_cand,
+                rerank_cap=rerank_cap, topk=topk, query_chunk=query_chunk,
             )
-            k = ts.shape[-1]
-            return ts.reshape(B_pad, k)[:B], tp.reshape(B_pad, k)[:B]
 
         return jax.jit(fn)
 

@@ -1,0 +1,214 @@
+"""Corpus-sharded SPMD search: per-chip IVF-PQ shards + ICI top-k merge.
+
+The BASELINE north star: "corpus sharded across a pod slice with ICI
+all-gather top-k merge".  The reference's analogue is faiss's single-process
+multi-GPU index sharding (``colbert_ranker.py:145-157``); here each device
+of the mesh's ``data`` axis owns a contiguous slice of the corpus (its own
+CSR IVF arrays + embedding table over SHARED coarse/PQ codebooks), the full
+query batch runs the complete local pipeline per shard inside ``shard_map``,
+and per-shard top-k results are merged with one all-gather over ICI.
+
+Host-side, :func:`shard_index` re-partitions a globally built index into
+per-shard stacked arrays (padded to equal sizes so the stack shards evenly).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from colbert_tpu.config import ColbertConfig
+from colbert_tpu.indexing.storage import IndexStorage
+from colbert_tpu.models import ColbertModel
+from colbert_tpu.models.sharding import param_shardings
+from colbert_tpu.ops.ivf import sort_by_list
+from colbert_tpu.parallel.mesh import AXES, local_shard_bounds, make_mesh
+from colbert_tpu.ranking.searcher import SearchResult, retrieval_core
+from colbert_tpu.tokenization import ColbertTokenizer
+from colbert_tpu.utils.logging import get_logger
+
+logger = get_logger("sharded")
+
+
+def _pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
+    if a.shape[0] == n:
+        return a
+    pad = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad, constant_values=fill)
+
+
+def shard_index(storage: IndexStorage, n_shards: int) -> Dict[str, np.ndarray]:
+    """Split a globally built index into ``n_shards`` contiguous pid ranges.
+
+    Returns stacked arrays with a leading shard axis, plus per-shard
+    ``pid_base`` so local pids map back to global.
+    """
+    ivf = storage.read_ivf()
+    doclens = np.asarray(storage.read_doclens(), np.int64)
+    num_docs = len(doclens)
+    emb2pid = ivf["emb2pid"]
+    K = ivf["offsets"].shape[0] - 1
+    # un-sort codes back to embedding order once, then re-sort per shard
+    codes_by_emb = np.empty_like(ivf["codes"])
+    codes_by_emb[ivf["row_emb"]] = ivf["codes"]
+    assign_by_emb = np.repeat(
+        np.arange(K, dtype=np.int32), ivf["offsets"][1:] - ivf["offsets"][:-1]
+    )
+    assign_sorted = np.empty(emb2pid.shape[0], np.int32)
+    assign_sorted[ivf["row_emb"]] = assign_by_emb
+
+    emb_all = np.asarray(storage.load_all_embeddings())
+    doc_off_all = IndexStorage.doc_offsets_from_doclens(doclens.tolist())
+
+    shards: Dict[str, list] = {k: [] for k in (
+        "codes", "row_emb", "offsets", "emb2pid", "emb_table", "doc_offsets", "doclens", "pid_base", "num_docs"
+    )}
+    bounds = [local_shard_bounds(num_docs, s, n_shards) for s in range(n_shards)]
+    max_docs = max(hi - lo for lo, hi in bounds)
+    max_embs = max(int(doclens[lo:hi].sum()) for lo, hi in bounds)
+    for s, (lo, hi) in enumerate(bounds):
+        e_lo, e_hi = int(doc_off_all[lo]), int(doc_off_all[hi])
+        a = assign_sorted[e_lo:e_hi]
+        c = codes_by_emb[e_lo:e_hi]
+        perm, offsets = sort_by_list(a, K)
+        n_local = e_hi - e_lo
+        shards["codes"].append(_pad_rows(c[perm], max_embs))
+        shards["row_emb"].append(_pad_rows(perm.astype(np.int32), max_embs, fill=-1))
+        shards["offsets"].append(offsets)
+        shards["emb2pid"].append(_pad_rows((emb2pid[e_lo:e_hi] - lo).astype(np.int32), max_embs, fill=-1))
+        shards["emb_table"].append(_pad_rows(emb_all[e_lo:e_hi], max_embs))
+        dl = doclens[lo:hi].astype(np.int32)
+        shards["doclens"].append(_pad_rows(dl, max_docs))
+        d_off = np.zeros(max_docs + 1, np.int32)
+        np.cumsum(_pad_rows(dl, max_docs), out=d_off[1:])
+        shards["doc_offsets"].append(d_off)
+        shards["pid_base"].append(np.asarray([lo], np.int32))
+        shards["num_docs"].append(np.asarray([hi - lo], np.int32))
+    return {k: np.stack(v) for k, v in shards.items()}
+
+
+class ShardedColbertSearcher:
+    """Same contract as :class:`ColbertSearcher`, corpus sharded over the
+    mesh's ``data`` axis."""
+
+    def __init__(
+        self,
+        cfg: ColbertConfig,
+        tokenizer: ColbertTokenizer,
+        params: Any,
+        storage: IndexStorage,
+        mesh: Optional[Mesh] = None,
+        rerank_dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.data, cfg.mesh.model)
+        self.n_shards = self.mesh.shape[AXES.data]
+        self.model = ColbertModel(cfg.model, cfg.multiview)
+        self.params = jax.device_put(params, param_shardings(params, self.mesh))
+
+        meta = storage.read_meta()
+        ivf = storage.read_ivf()
+        sh = shard_index(storage, self.n_shards)
+        shard0 = NamedSharding(self.mesh, P(AXES.data))
+        put = lambda a, dt=None: jax.device_put(jnp.asarray(a, dt), shard0)
+        self.arrays = {
+            "codes": put(sh["codes"]),
+            "row_emb": put(sh["row_emb"], jnp.int32),
+            "offsets": put(sh["offsets"], jnp.int32),
+            "emb2pid": put(sh["emb2pid"], jnp.int32),
+            "emb_table": put(sh["emb_table"].astype(np.float32), rerank_dtype),
+            "doc_offsets": put(sh["doc_offsets"], jnp.int32),
+            "doclens": put(sh["doclens"], jnp.int32),
+            "pid_base": put(sh["pid_base"], jnp.int32),
+        }
+        # shared (replicated) quantizers
+        rep = NamedSharding(self.mesh, P())
+        self.coarse = jax.device_put(jnp.asarray(ivf["coarse_centroids"], jnp.float32), rep)
+        self.codebooks = jax.device_put(jnp.asarray(ivf["codebooks"], jnp.float32), rep)
+
+        lens = sh["offsets"][:, 1:] - sh["offsets"][:, :-1]
+        self.max_list_len = max(1, int(lens.max()))
+        self.num_docs = int(np.asarray(storage.read_meta()["num_docs"]))
+        self.rerank_cap = (
+            cfg.multiview.d_view if meta.get("multiview", True)
+            else max(1, int(np.asarray(storage.read_doclens()).max()))
+        )
+        self._fns: Dict[Tuple, Any] = {}
+
+    def _make_fn(self, topk, nprobe, depth, cap, max_cand, query_chunk):
+        model = self.model
+        rerank_cap = self.rerank_cap
+        mesh = self.mesh
+        k_local = min(topk, max_cand)
+
+        def local(coarse, codebooks, codes, row_emb, offsets, emb2pid,
+                  emb_table, doc_offsets, doclens, pid_base, Qm, qm):
+            # shard_map gives blocks with the leading shard axis of size 1
+            sq = lambda a: a[0]
+            ts, tp = retrieval_core(
+                Qm, qm, coarse, codebooks, sq(codes), sq(offsets), sq(row_emb),
+                sq(emb2pid), sq(emb_table), sq(doc_offsets), sq(doclens),
+                nprobe=nprobe, cap=cap, depth=depth, max_cand=max_cand,
+                rerank_cap=rerank_cap, topk=k_local, query_chunk=query_chunk,
+            )
+            tp = jnp.where(tp >= 0, tp + sq(pid_base)[0], -1)
+            # ICI merge: gather every shard's local top-k, reduce to global top-k
+            all_ts = jax.lax.all_gather(ts, AXES.data, axis=-1, tiled=True)
+            all_tp = jax.lax.all_gather(tp, AXES.data, axis=-1, tiled=True)
+            s, i = jax.lax.top_k(all_ts, min(topk, all_ts.shape[-1]))
+            return s, jnp.take_along_axis(all_tp, i, axis=-1)
+
+        data, model_ax = AXES.data, AXES.model
+        sharded = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(), P(),                       # coarse, codebooks (replicated)
+                P(data), P(data), P(data), P(data), P(data), P(data), P(data), P(data),
+                P(), P(),                       # Qm, qm replicated
+            ),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+
+        def fn(params, Qm_inputs):
+            q_ids, q_attn, q_active = Qm_inputs
+            Q = model.apply({"params": params}, q_ids, q_attn, method=model.query)
+            qm = q_active.astype(Q.dtype)
+            Qm = Q * qm[..., None]
+            a = self.arrays
+            return sharded(
+                self.coarse, self.codebooks, a["codes"], a["row_emb"], a["offsets"],
+                a["emb2pid"], a["emb_table"], a["doc_offsets"], a["doclens"], a["pid_base"],
+                Qm, qm,
+            )
+
+        return jax.jit(fn)
+
+    def search(self, questions: Sequence[str], topk=None, nprobe=None, depth=None, query_chunk: int = 8) -> SearchResult:
+        enc = self.tok.encode_queries(list(questions))
+        return self.search_tokens(enc.input_ids, enc.attention_mask, enc.active_mask,
+                                  topk=topk, nprobe=nprobe, depth=depth, query_chunk=query_chunk)
+
+    def search_tokens(self, q_ids, q_attn, q_active, topk=None, nprobe=None, depth=None, query_chunk: int = 8) -> SearchResult:
+        s = self.cfg.serve
+        topk = topk or s.topk
+        nprobe = min(nprobe or s.nprobe, int(self.coarse.shape[0]))
+        depth = depth or s.candidate_depth
+        cap = self.max_list_len
+        max_cand = min(s.max_candidates, self.num_docs)
+        key = (topk, nprobe, depth, cap, max_cand, query_chunk)
+        if key not in self._fns:
+            self._fns[key] = self._make_fn(*key)
+        ts, tp = self._fns[key](
+            self.params, (jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active))
+        )
+        return SearchResult(np.asarray(tp), np.asarray(ts))
