@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from colbert_tpu.ops.pq import adc_lut
+from colbert_tpu.ops.pq import adc_lut, adc_score_onehot
 
 
 def sort_by_list(assignments: np.ndarray, num_lists: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -46,8 +46,14 @@ def sort_by_list(assignments: np.ndarray, num_lists: int) -> Tuple[np.ndarray, n
     return perm, offsets
 
 
+def _resolve_adc_method(method: str) -> str:
+    if method != "auto":
+        return method
+    return "gather" if jax.default_backend() in ("cpu", "gpu") else "onehot"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "cap", "depth", "token_chunk")
+    jax.jit, static_argnames=("nprobe", "cap", "depth", "token_chunk", "adc_method")
 )
 def ivf_probe_adc(
     q_tokens: jax.Array,          # (T, d) query token embeddings
@@ -60,13 +66,21 @@ def ivf_probe_adc(
     cap: int,
     depth: int,
     token_chunk: int = 32,
+    adc_method: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """For each query token: probe top-``nprobe`` lists, ADC-score up to
     ``cap`` rows per list, return top-``depth`` (scores, sorted-row ids).
 
+    ``adc_method``: "gather" (element gather; CPU-friendly) or "onehot"
+    (one-hot + MXU matmul; ~8x faster on TPU, processes one token per step
+    to bound the transient one-hot).  "auto" picks by backend.
+
     Returns (scores (T, depth) fp32, rows (T, depth) int32); masked slots
     have score -inf and row -1.
     """
+    adc_method = _resolve_adc_method(adc_method)
+    if adc_method == "onehot":
+        token_chunk = 1
     T, d = q_tokens.shape
     K = coarse_centroids.shape[0]
     lut_all = adc_lut(q_tokens, codebooks)  # (T, m, ksub)
@@ -87,11 +101,14 @@ def ivf_probe_adc(
         valid = jnp.arange(cap)[None, None, :] < ln[..., None]
         idx = jnp.clip(idx, 0, codes_sorted.shape[0] - 1)
         codes = codes_sorted[idx.reshape(idx.shape[0], -1)]         # (tc, nprobe*cap, m)
-        # ADC: lut[t, j, codes[t, c, j]] summed over j
-        gathered = jnp.take_along_axis(
-            lut[:, None, :, :], codes.astype(jnp.int32)[:, :, :, None], axis=3
-        )[..., 0]                                                    # (tc, nprobe*cap, m)
-        scores = gathered.sum(axis=-1)
+        if adc_method == "onehot":
+            scores = adc_score_onehot(lut, codes[0])                 # (1, nprobe*cap)
+        else:
+            # ADC: lut[t, j, codes[t, c, j]] summed over j
+            gathered = jnp.take_along_axis(
+                lut[:, None, :, :], codes.astype(jnp.int32)[:, :, :, None], axis=3
+            )[..., 0]                                                # (tc, nprobe*cap, m)
+            scores = gathered.sum(axis=-1)
         scores = jnp.where(valid.reshape(valid.shape[0], -1), scores, -jnp.inf)
         s, i = jax.lax.top_k(scores, depth)                          # (tc, depth)
         rows = jnp.take_along_axis(idx.reshape(idx.shape[0], -1), i, axis=1)

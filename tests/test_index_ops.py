@@ -124,3 +124,36 @@ def test_dedup_pids_by_score():
     assert got[1] == pytest.approx(0.9)
     assert got[3] == pytest.approx(0.7)
     assert got[2] == pytest.approx(0.4)
+
+
+def test_adc_onehot_matches_gather(rng):
+    from colbert_tpu.ops.pq import adc_score_onehot
+
+    m, ksub, C, B = 8, 256, 100, 3
+    lut = jnp.asarray(rng.normal(size=(B, m, ksub)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, ksub, size=(C, m)).astype(np.uint8))
+    a = np.asarray(adc_score(lut, codes))
+    b = np.asarray(adc_score_onehot(lut, codes))
+    # one-hot path rounds the LUT to bf16 (candidate-selection scores only)
+    np.testing.assert_allclose(a, b, atol=0.06)
+
+
+def test_ivf_probe_onehot_method_matches(rng):
+    n, d, K, m = 2000, 32, 8, 8
+    x, _, _ = blobs(rng, n, K, d, scale=0.2)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cents, assign = kmeans(jnp.asarray(x), K, iters=6, chunk=512)
+    books = pq_train(jnp.asarray(x), m, 256, iters=5, chunk=512)
+    codes = np.asarray(pq_encode(jnp.asarray(x), books, chunk=512))
+    perm, offsets = sort_by_list(np.asarray(assign), K)
+    cap = int((offsets[1:] - offsets[:-1]).max())
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    kw = dict(nprobe=K, cap=cap, depth=10)
+    s1, r1 = ivf_probe_adc(jnp.asarray(q), cents, books, jnp.asarray(codes[perm]),
+                           jnp.asarray(offsets), token_chunk=3, adc_method="gather", **kw)
+    s2, r2 = ivf_probe_adc(jnp.asarray(q), cents, books, jnp.asarray(codes[perm]),
+                           jnp.asarray(offsets), token_chunk=3, adc_method="onehot", **kw)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=0.06)
+    # selected candidates must be essentially the same set
+    for i in range(3):
+        assert len(set(np.asarray(r1)[i]) & set(np.asarray(r2)[i])) >= 8
