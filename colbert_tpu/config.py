@@ -142,9 +142,15 @@ class IndexConfig:
     ``faiss_indexers.py:279-286``)."""
 
     index_path: str = "index/colbert"
+    # candidate codec: "pq" (reference-parity IVF-PQ, 64 B/vector at
+    # defaults) or "sq" (TPU-first int8 projected codec, sq_dim B/vector —
+    # candidate scoring is an MXU matmul instead of a table gather)
+    codec: str = "pq"
     # PQ: m sub-quantizers x 2^nbits codes (64 B / token-vector at defaults)
     pq_m: int = 64
     pq_nbits: int = 8
+    # SQ: PCA projection width (bytes per vector)
+    sq_dim: int = 64
     # IVF partitions; 0 = auto: 1 << round(log2(8 * sqrt(num_embeddings)))
     partitions: int = 0
     # corpus encode
@@ -202,10 +208,14 @@ class ColbertConfig:
                 raise ValueError("q_view must fit in query_maxlen")
             if self.multiview.d_view > self.tokenizer.doc_maxlen:
                 raise ValueError("d_view must fit in doc_maxlen")
-        if self.model.dim % self.index.pq_m != 0:
+        if self.index.codec not in ("pq", "sq"):
+            raise ValueError(f"unknown index codec: {self.index.codec}")
+        if self.index.codec == "pq" and self.model.dim % self.index.pq_m != 0:
             raise ValueError(
                 f"PQ requires dim % m == 0, got dim={self.model.dim} m={self.index.pq_m}"
             )
+        if self.index.codec == "sq" and self.index.sq_dim > self.model.dim:
+            raise ValueError("sq_dim must be <= model dim")
 
     # ---- (de)serialization ----
 

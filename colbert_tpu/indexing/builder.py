@@ -62,16 +62,26 @@ class IndexBuilder:
                 jnp.asarray(sample), partitions, iters=c.kmeans_iters, key=key, chunk=kc
             )
             centroids.block_until_ready()
-        with self.timers.span("pq_train"):
-            codebooks = pq_train(
-                jnp.asarray(sample), c.pq_m, 2**c.pq_nbits,
-                iters=c.pq_kmeans_iters, key=key, chunk=kc,
-            )
-            codebooks.block_until_ready()
+        codebooks = sq_proj = sq_scales = None
+        if c.codec == "pq":
+            with self.timers.span("pq_train"):
+                codebooks = pq_train(
+                    jnp.asarray(sample), c.pq_m, 2**c.pq_nbits,
+                    iters=c.pq_kmeans_iters, key=key, chunk=kc,
+                )
+                codebooks.block_until_ready()
+            code_width, code_dtype = c.pq_m, np.uint8
+        else:
+            from colbert_tpu.ops.sq import sq_train
+
+            with self.timers.span("sq_train"):
+                sq_proj, sq_scales = sq_train(jnp.asarray(sample), c.sq_dim)
+                sq_proj.block_until_ready()
+            code_width, code_dtype = c.sq_dim, np.int8
 
         # --- assign + encode all parts ---
         assignments = np.empty(num_embeddings, np.int32)
-        codes = np.empty((num_embeddings, c.pq_m), np.uint8)
+        codes = np.empty((num_embeddings, code_width), code_dtype)
         pos = 0
         with self.timers.span("assign_encode"):
             for part in self.storage.part_ids():
@@ -79,7 +89,12 @@ class IndexBuilder:
                 if embs.shape[0] == 0:
                     continue
                 a = assign_clusters(jnp.asarray(embs), centroids, chunk=chunk)
-                cc = pq_encode(jnp.asarray(embs), codebooks, chunk=chunk)
+                if c.codec == "pq":
+                    cc = pq_encode(jnp.asarray(embs), codebooks, chunk=chunk)
+                else:
+                    from colbert_tpu.ops.sq import sq_encode
+
+                    cc = sq_encode(jnp.asarray(embs), sq_proj, sq_scales, chunk=chunk)
                 assignments[pos : pos + embs.shape[0]] = np.asarray(a)
                 codes[pos : pos + embs.shape[0]] = np.asarray(cc)
                 pos += embs.shape[0]
@@ -89,18 +104,25 @@ class IndexBuilder:
         from colbert_tpu.native import ivf_pack
 
         with self.timers.span("csr_pack"):
-            perm, offsets, codes_sorted = ivf_pack(assignments, codes, partitions)
+            perm, offsets, codes_sorted = ivf_pack(
+                assignments, codes.view(np.uint8), partitions
+            )
+            codes_sorted = codes_sorted.view(code_dtype)
             emb2pid = IndexStorage.emb2pid_from_doclens(doclens)
         self.storage.write_ivf(
-            np.asarray(centroids), np.asarray(codebooks),
-            codes_sorted, perm.astype(np.int32), offsets, emb2pid,
+            np.asarray(centroids), codes_sorted, perm.astype(np.int32), offsets, emb2pid,
+            codebooks=np.asarray(codebooks) if codebooks is not None else None,
+            sq_proj=np.asarray(sq_proj) if sq_proj is not None else None,
+            sq_scales=np.asarray(sq_scales) if sq_scales is not None else None,
         )
         meta.update(
             {
                 "partitions": partitions,
+                "codec": c.codec,
                 "pq_m": c.pq_m,
                 "pq_nbits": c.pq_nbits,
-                "bytes_per_vector": c.pq_m * c.pq_nbits // 8,
+                "sq_dim": c.sq_dim,
+                "bytes_per_vector": c.pq_m * c.pq_nbits // 8 if c.codec == "pq" else c.sq_dim,
                 "build_timers": self.timers.as_dict(),
             }
         )

@@ -86,29 +86,39 @@ class IndexStorage:
     def write_ivf(
         self,
         coarse_centroids: np.ndarray,
-        codebooks: np.ndarray,
         codes_sorted: np.ndarray,
         row_emb: np.ndarray,
         offsets: np.ndarray,
         emb2pid: np.ndarray,
+        codebooks: Optional[np.ndarray] = None,   # PQ codec
+        sq_proj: Optional[np.ndarray] = None,     # SQ codec
+        sq_scales: Optional[np.ndarray] = None,
     ) -> None:
         np.save(self.path / "ivf" / "coarse_centroids.npy", coarse_centroids.astype(np.float32))
-        np.save(self.path / "ivf" / "codebooks.npy", codebooks.astype(np.float32))
-        np.save(self.path / "ivf" / "codes.npy", codes_sorted.astype(np.uint8))
+        np.save(self.path / "ivf" / "codes.npy", codes_sorted)
         np.save(self.path / "ivf" / "row_emb.npy", row_emb.astype(np.int32))
         np.save(self.path / "ivf" / "offsets.npy", offsets.astype(np.int32))
         np.save(self.path / "emb2pid.npy", emb2pid.astype(np.int32))
+        if codebooks is not None:
+            np.save(self.path / "ivf" / "codebooks.npy", codebooks.astype(np.float32))
+        if sq_proj is not None:
+            np.save(self.path / "ivf" / "sq_proj.npy", sq_proj.astype(np.float32))
+            np.save(self.path / "ivf" / "sq_scales.npy", sq_scales.astype(np.float32))
 
     def read_ivf(self) -> Dict[str, np.ndarray]:
         p = self.path
-        return {
+        out = {
             "coarse_centroids": np.load(p / "ivf" / "coarse_centroids.npy"),
-            "codebooks": np.load(p / "ivf" / "codebooks.npy"),
             "codes": np.load(p / "ivf" / "codes.npy"),
             "row_emb": np.load(p / "ivf" / "row_emb.npy"),
             "offsets": np.load(p / "ivf" / "offsets.npy"),
             "emb2pid": np.load(p / "emb2pid.npy"),
         }
+        for name, key in (("codebooks", "codebooks"), ("sq_proj", "sq_proj"), ("sq_scales", "sq_scales")):
+            f = p / "ivf" / f"{name}.npy"
+            if f.exists():
+                out[key] = np.load(f)
+        return out
 
     @staticmethod
     def emb2pid_from_doclens(doclens: List[int]) -> np.ndarray:

@@ -122,6 +122,61 @@ def ivf_probe_adc(
     return scores.reshape(T_pad, depth)[:T], rows.reshape(T_pad, depth)[:T]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "cap", "depth", "token_chunk")
+)
+def ivf_probe_sq(
+    q_tokens: jax.Array,          # (T, d) query token embeddings
+    coarse_centroids: jax.Array,  # (K, d)
+    proj: jax.Array,              # (d, sq_dim)
+    scales: jax.Array,            # (sq_dim,)
+    codes8_sorted: jax.Array,     # (N, sq_dim) int8, CSR-sorted by list
+    offsets: jax.Array,           # (K+1,) int32
+    *,
+    nprobe: int,
+    cap: int,
+    depth: int,
+    token_chunk: int = 32,
+) -> Tuple[jax.Array, jax.Array]:
+    """SQ-codec IVF scan: same contract as :func:`ivf_probe_adc`, but
+    candidate scoring is an int8 MXU matmul (see :mod:`colbert_tpu.ops.sq`)
+    instead of a PQ table lookup — the TPU-native fast path."""
+    from colbert_tpu.ops.sq import sq_query
+
+    T, d = q_tokens.shape
+    qs_all = sq_query(q_tokens, proj, scales)  # (T, sq_dim)
+
+    T_pad = ((T + token_chunk - 1) // token_chunk) * token_chunk
+    q_pad = jnp.pad(q_tokens, ((0, T_pad - T), (0, 0)))
+    qs_pad = jnp.pad(qs_all, ((0, T_pad - T), (0, 0)))
+    lengths = offsets[1:] - offsets[:-1]
+
+    def chunk_body(inp):
+        q, qs = inp  # (tc, d), (tc, sq_dim)
+        coarse = jnp.dot(q, coarse_centroids.T, preferred_element_type=jnp.float32)
+        _, lists = jax.lax.top_k(coarse, nprobe)
+        base = offsets[lists]
+        ln = lengths[lists]
+        idx = base[..., None] + jnp.arange(cap)[None, None, :]
+        valid = jnp.arange(cap)[None, None, :] < ln[..., None]
+        idx = jnp.clip(idx, 0, codes8_sorted.shape[0] - 1)
+        rows = codes8_sorted[idx.reshape(idx.shape[0], -1)]  # (tc, R, sq_dim) int8
+        scores = jnp.einsum(
+            "trd,td->tr", rows.astype(jnp.bfloat16), qs.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        scores = jnp.where(valid.reshape(valid.shape[0], -1), scores, -jnp.inf)
+        s, i = jax.lax.top_k(scores, depth)
+        rr = jnp.take_along_axis(idx.reshape(idx.shape[0], -1), i, axis=1)
+        rr = jnp.where(jnp.isfinite(s), rr, -1)
+        return s, rr.astype(jnp.int32)
+
+    scores, rows = jax.lax.map(
+        chunk_body, (q_pad.reshape(-1, token_chunk, d), qs_pad.reshape(-1, token_chunk, qs_all.shape[1]))
+    )
+    return scores.reshape(T_pad, depth)[:T], rows.reshape(T_pad, depth)[:T]
+
+
 def dedup_pids_by_score(
     pids: jax.Array, scores: jax.Array, max_out: int
 ) -> Tuple[jax.Array, jax.Array]:

@@ -34,7 +34,7 @@ from colbert_tpu.config import ColbertConfig
 from colbert_tpu.indexing.storage import IndexStorage
 from colbert_tpu.models import ColbertModel
 from colbert_tpu.models.sharding import param_shardings
-from colbert_tpu.ops.ivf import dedup_pids_by_score, ivf_probe_adc
+from colbert_tpu.ops.ivf import dedup_pids_by_score, ivf_probe_adc, ivf_probe_sq
 from colbert_tpu.ops.maxsim import maxsim_qd
 from colbert_tpu.parallel.mesh import make_mesh
 from colbert_tpu.tokenization import ColbertTokenizer
@@ -49,37 +49,47 @@ class SearchResult:
     scores: np.ndarray  # (B, topk) fp32
 
 
+def make_probe_fn(codec, coarse, quant, codes, offsets, *, nprobe: int, cap: int, depth: int):
+    """Codec-dispatched candidate generator closure for :func:`retrieval_core`.
+
+    ``quant``: PQ codebooks (codec="pq") or an (sq_proj, sq_scales) tuple
+    (codec="sq")."""
+    if codec == "pq":
+        return lambda tokens: ivf_probe_adc(
+            tokens, coarse, quant, codes, offsets,
+            nprobe=nprobe, cap=cap, depth=depth, token_chunk=min(32, tokens.shape[0]),
+        )
+    proj, scales = quant
+    return lambda tokens: ivf_probe_sq(
+        tokens, coarse, proj, scales, codes, offsets,
+        nprobe=nprobe, cap=cap, depth=depth, token_chunk=min(32, tokens.shape[0]),
+    )
+
+
 def retrieval_core(
     Qm: jax.Array,        # (B, qv, dim) masked query reps
     qm: jax.Array,        # (B, qv) active mask
-    coarse: jax.Array,
-    codebooks: jax.Array,
-    codes: jax.Array,
-    offsets: jax.Array,
+    probe_fn,             # (T, dim) tokens -> (scores (T, depth), rows (T, depth))
     row_emb: jax.Array,
     emb2pid: jax.Array,
     emb_table: jax.Array,
     doc_offsets: jax.Array,
     doclens: jax.Array,
     *,
-    nprobe: int,
-    cap: int,
     depth: int,
     max_cand: int,
     rerank_cap: int,
     topk: int,
     query_chunk: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Everything after query encode: probe -> ADC -> dedup -> gather ->
-    exact MaxSim -> local top-k.  Pure function of device arrays so it can
-    run standalone (single chip) or per-shard inside shard_map."""
+    """Everything after query encode: probe -> candidate scores -> dedup ->
+    gather -> exact MaxSim -> local top-k.  Pure function of device arrays
+    so it can run standalone (single chip) or per-shard inside shard_map.
+    ``probe_fn`` encapsulates the codec (PQ ADC or SQ int8 matmul)."""
     B, q_view, _ = Qm.shape
 
     tokens = Qm.reshape(B * q_view, -1)
-    adc_scores, rows = ivf_probe_adc(
-        tokens, coarse, codebooks, codes, offsets,
-        nprobe=nprobe, cap=cap, depth=depth, token_chunk=min(32, B * q_view),
-    )  # (B*qv, depth)
+    adc_scores, rows = probe_fn(tokens)  # (B*qv, depth)
     emb_ids = jnp.where(rows >= 0, row_emb[jnp.maximum(rows, 0)], -1)
     pids = jnp.where(emb_ids >= 0, emb2pid[jnp.maximum(emb_ids, 0)], -1)
     # dead query tokens (masked) contribute nothing
@@ -148,8 +158,15 @@ class ColbertSearcher:
         self.num_docs = len(doclens)
 
         # device-resident index state
+        self.codec = meta.get("codec", "pq" if "codebooks" in ivf else "sq")
         self.coarse = jnp.asarray(ivf["coarse_centroids"], jnp.float32)
-        self.codebooks = jnp.asarray(ivf["codebooks"], jnp.float32)
+        if self.codec == "pq":
+            self.codebooks = jnp.asarray(ivf["codebooks"], jnp.float32)
+            self.sq_proj = self.sq_scales = None
+        else:
+            self.codebooks = None
+            self.sq_proj = jnp.asarray(ivf["sq_proj"], jnp.float32)
+            self.sq_scales = jnp.asarray(ivf["sq_scales"], jnp.float32)
         self.codes = jnp.asarray(ivf["codes"])
         self.row_emb = jnp.asarray(ivf["row_emb"], jnp.int32)
         self.offsets = jnp.asarray(ivf["offsets"], jnp.int32)
@@ -170,22 +187,29 @@ class ColbertSearcher:
 
     def _make_search_fn(self, topk: int, nprobe: int, depth: int, cap: int, max_cand: int, query_chunk: int):
         model = self.model
-        q_view = self.cfg.multiview.q_view if self.cfg.multiview.enabled else self.cfg.tokenizer.query_maxlen
         rerank_cap = self.rerank_cap
+        codec = self.codec
 
-        def fn(params, coarse, codebooks, codes, offsets, row_emb, emb2pid,
+        def fn(params, coarse, quant, codes, offsets, row_emb, emb2pid,
                emb_table, doc_offsets, doclens, q_ids, q_attn, q_active):
             Q = model.apply({"params": params}, q_ids, q_attn, method=model.query)  # (B, qv, dim)
             qm = q_active.astype(Q.dtype)
             Qm = Q * qm[..., None]
+            probe_fn = make_probe_fn(
+                codec, coarse, quant, codes, offsets, nprobe=nprobe, cap=cap, depth=depth
+            )
             return retrieval_core(
-                Qm, qm, coarse, codebooks, codes, offsets, row_emb, emb2pid,
+                Qm, qm, probe_fn, row_emb, emb2pid,
                 emb_table, doc_offsets, doclens,
-                nprobe=nprobe, cap=cap, depth=depth, max_cand=max_cand,
+                depth=depth, max_cand=max_cand,
                 rerank_cap=rerank_cap, topk=topk, query_chunk=query_chunk,
             )
 
         return jax.jit(fn)
+
+    @property
+    def _quant(self):
+        return self.codebooks if self.codec == "pq" else (self.sq_proj, self.sq_scales)
 
     # ---- public API ----
 
@@ -227,7 +251,7 @@ class ColbertSearcher:
 
         with self.timers.span("search"):
             ts, tp = fn(
-                self.params, self.coarse, self.codebooks, self.codes, self.offsets,
+                self.params, self.coarse, self._quant, self.codes, self.offsets,
                 self.row_emb, self.emb2pid, self.emb_table, self.doc_offsets, self.doclens,
                 jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active),
             )

@@ -30,7 +30,7 @@ from colbert_tpu.models import ColbertModel
 from colbert_tpu.models.sharding import param_shardings
 from colbert_tpu.ops.ivf import sort_by_list
 from colbert_tpu.parallel.mesh import AXES, local_shard_bounds, make_mesh
-from colbert_tpu.ranking.searcher import SearchResult, retrieval_core
+from colbert_tpu.ranking.searcher import SearchResult, make_probe_fn, retrieval_core
 from colbert_tpu.tokenization import ColbertTokenizer
 from colbert_tpu.utils.logging import get_logger
 
@@ -131,8 +131,15 @@ class ShardedColbertSearcher:
         }
         # shared (replicated) quantizers
         rep = NamedSharding(self.mesh, P())
+        self.codec = meta.get("codec", "pq" if "codebooks" in ivf else "sq")
         self.coarse = jax.device_put(jnp.asarray(ivf["coarse_centroids"], jnp.float32), rep)
-        self.codebooks = jax.device_put(jnp.asarray(ivf["codebooks"], jnp.float32), rep)
+        if self.codec == "pq":
+            self.quant = jax.device_put(jnp.asarray(ivf["codebooks"], jnp.float32), rep)
+        else:
+            self.quant = (
+                jax.device_put(jnp.asarray(ivf["sq_proj"], jnp.float32), rep),
+                jax.device_put(jnp.asarray(ivf["sq_scales"], jnp.float32), rep),
+            )
 
         lens = sh["offsets"][:, 1:] - sh["offsets"][:, :-1]
         self.max_list_len = max(1, int(lens.max()))
@@ -147,16 +154,21 @@ class ShardedColbertSearcher:
         model = self.model
         rerank_cap = self.rerank_cap
         mesh = self.mesh
+        codec = self.codec
         k_local = min(topk, max_cand)
 
-        def local(coarse, codebooks, codes, row_emb, offsets, emb2pid,
+        def local(coarse, quant, codes, row_emb, offsets, emb2pid,
                   emb_table, doc_offsets, doclens, pid_base, Qm, qm):
             # shard_map gives blocks with the leading shard axis of size 1
             sq = lambda a: a[0]
+            probe_fn = make_probe_fn(
+                codec, coarse, quant, sq(codes), sq(offsets),
+                nprobe=nprobe, cap=cap, depth=depth,
+            )
             ts, tp = retrieval_core(
-                Qm, qm, coarse, codebooks, sq(codes), sq(offsets), sq(row_emb),
+                Qm, qm, probe_fn, sq(row_emb),
                 sq(emb2pid), sq(emb_table), sq(doc_offsets), sq(doclens),
-                nprobe=nprobe, cap=cap, depth=depth, max_cand=max_cand,
+                depth=depth, max_cand=max_cand,
                 rerank_cap=rerank_cap, topk=k_local, query_chunk=query_chunk,
             )
             tp = jnp.where(tp >= 0, tp + sq(pid_base)[0], -1)
@@ -166,12 +178,13 @@ class ShardedColbertSearcher:
             s, i = jax.lax.top_k(all_ts, min(topk, all_ts.shape[-1]))
             return s, jnp.take_along_axis(all_tp, i, axis=-1)
 
-        data, model_ax = AXES.data, AXES.model
+        data = AXES.data
+        quant_spec = P() if codec == "pq" else (P(), P())
         sharded = shard_map(
             local,
             mesh=mesh,
             in_specs=(
-                P(), P(),                       # coarse, codebooks (replicated)
+                P(), quant_spec,                # coarse + quantizer (replicated)
                 P(data), P(data), P(data), P(data), P(data), P(data), P(data), P(data),
                 P(), P(),                       # Qm, qm replicated
             ),
@@ -186,7 +199,7 @@ class ShardedColbertSearcher:
             Qm = Q * qm[..., None]
             a = self.arrays
             return sharded(
-                self.coarse, self.codebooks, a["codes"], a["row_emb"], a["offsets"],
+                self.coarse, self.quant, a["codes"], a["row_emb"], a["offsets"],
                 a["emb2pid"], a["emb_table"], a["doc_offsets"], a["doclens"], a["pid_base"],
                 Qm, qm,
             )
