@@ -22,6 +22,12 @@ import json
 import time
 
 import jax
+
+# persistent compile cache: bench re-runs (and anything else in this repo)
+# skip the multi-minute XLA/Mosaic compiles after the first run
+jax.config.update("jax_compilation_cache_dir", "/tmp/colbert_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,24 +36,29 @@ def is_tpu() -> bool:
     return jax.devices()[0].platform not in ("cpu", "gpu")
 
 
-def build_synthetic_index(num_docs, d_view, dim, cfg, seed=0):
-    """Clustered unit vectors -> storage dir (no BERT: we benchmark the
-    retrieval engine; query encode IS included via the model forward)."""
+def make_synthetic_embeddings(num_docs, d_view, dim, seed=0):
+    """Clustered + anisotropic unit vectors (BERT-ish spectrum: topic
+    structure for IVF plausibility, decaying per-dim energy so projection
+    codecs behave like on real embeddings)."""
+    rng = np.random.default_rng(seed)
+    n_topics = 256
+    spectrum = (1.0 / np.sqrt(1.0 + np.arange(dim))).astype(np.float32)
+    topics = rng.normal(size=(n_topics, dim)).astype(np.float32) * spectrum
+    topics /= np.linalg.norm(topics, axis=1, keepdims=True)
+    doc_topic = rng.integers(0, n_topics, size=num_docs)
+    embs = topics[np.repeat(doc_topic, d_view)] + 0.3 * (
+        rng.normal(size=(num_docs * d_view, dim)).astype(np.float32) * spectrum
+    )
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    return embs
+
+
+def build_synthetic_index(embs, num_docs, d_view, dim, cfg):
     import tempfile
 
     from colbert_tpu.indexing import IndexBuilder, IndexStorage
 
-    rng = np.random.default_rng(seed)
-    n_topics = 256
-    topics = rng.normal(size=(n_topics, dim)).astype(np.float32)
-    topics /= np.linalg.norm(topics, axis=1, keepdims=True)
-    doc_topic = rng.integers(0, n_topics, size=num_docs)
-    embs = topics[np.repeat(doc_topic, d_view)] + 0.3 * rng.normal(
-        size=(num_docs * d_view, dim)
-    ).astype(np.float32)
-    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
-
-    path = tempfile.mkdtemp(prefix="colbert_bench_")
+    path = tempfile.mkdtemp(prefix=f"colbert_bench_{cfg.index.codec}_")
     storage = IndexStorage(path)
     parts = 4
     per = num_docs // parts
@@ -59,7 +70,7 @@ def build_synthetic_index(num_docs, d_view, dim, cfg, seed=0):
          "multiview": True, "d_view": d_view, "num_parts": parts, "embedding_dtype": "float16"}
     )
     IndexBuilder(cfg, storage).build(chunk=1 << 14)
-    return storage, embs
+    return storage
 
 
 def naive_reference_loop(searcher, q_ids, q_attn, q_active, topk, nprobe, depth):
@@ -98,6 +109,32 @@ def naive_reference_loop(searcher, q_ids, q_attn, q_active, topk, nprobe, depth)
     return results
 
 
+def exact_oracle_topk(searcher, q_ids, q_attn, q_active, topk):
+    """Brute-force exact MaxSim over the whole corpus (no ANN)."""
+    from colbert_tpu.ops.maxsim import maxsim_xla
+
+    model = searcher.model
+    Q = model.apply({"params": searcher.params}, jnp.asarray(q_ids), jnp.asarray(q_attn), method=model.query)
+    Qm = Q * jnp.asarray(q_active, Q.dtype)[..., None]
+    cap = searcher.rerank_cap
+    nd = searcher.num_docs
+    D = searcher.emb_table.reshape(nd, cap, -1)  # multiview: uniform doclens
+    scores = maxsim_xla(Qm.astype(jnp.float32), D.astype(jnp.float32))
+    _, tp = jax.lax.top_k(scores, topk)
+    return np.asarray(tp)
+
+
+def bench_searcher(searcher, q_ids, q_attn, q_active, topk, nprobe, depth, n_warm, n_iter):
+    kw = dict(topk=topk, nprobe=nprobe, depth=depth, query_chunk=8)
+    for _ in range(n_warm):
+        searcher.search_tokens(q_ids, q_attn, q_active, **kw)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
+    dt = (time.perf_counter() - t0) / n_iter
+    return dt, res
+
+
 def main():
     tpu = is_tpu()
     num_docs = 20000 if tpu else 400
@@ -122,21 +159,26 @@ def main():
         ModelConfig(vocab_size=1024, hidden_size=64, num_layers=2, num_heads=4,
                     intermediate_size=128, max_position_embeddings=64, dim=dim, dtype="float32")
     )
-    cfg = ColbertConfig(
-        model=model_cfg,
-        multiview=MultiviewConfig(enabled=True, q_view=q_view, d_view=d_view),
-        tokenizer=TokenizerConfig(vocab_path="unused", query_maxlen=32, doc_maxlen=384),
-        index=IndexConfig(pq_m=64 if tpu else 8, kmeans_iters=10, pq_kmeans_iters=10),
-        serve=ServeConfig(nprobe=nprobe, candidate_depth=depth, topk=topk, max_candidates=4096 if tpu else 256),
-        mesh=MeshConfig(data=-1, model=1),
-    )
-    storage, _ = build_synthetic_index(num_docs, d_view, cfg.model.dim, cfg)
 
+    def cfg_for(codec):
+        return ColbertConfig(
+            model=model_cfg,
+            multiview=MultiviewConfig(enabled=True, q_view=q_view, d_view=d_view),
+            tokenizer=TokenizerConfig(vocab_path="unused", query_maxlen=32, doc_maxlen=384),
+            index=IndexConfig(codec=codec, pq_m=64 if tpu else 8, sq_dim=64 if tpu else 8,
+                              kmeans_iters=10, pq_kmeans_iters=10),
+            serve=ServeConfig(nprobe=nprobe, candidate_depth=depth, topk=topk,
+                              max_candidates=4096 if tpu else 256),
+            mesh=MeshConfig(data=-1, model=1),
+        )
+
+    embs = make_synthetic_embeddings(num_docs, d_view, dim)
     mesh = make_mesh(-1, 1)
-    model = ColbertModel(cfg.model, cfg.multiview)
-    Lq = cfg.tokenizer.query_maxlen
+    cfg_pq, cfg_sq = cfg_for("pq"), cfg_for("sq")
+    model = ColbertModel(model_cfg, cfg_pq.multiview)
+    Lq = cfg_pq.tokenizer.query_maxlen
     rng = np.random.default_rng(0)
-    q_ids = rng.integers(0, cfg.model.vocab_size, (batch, Lq)).astype(np.int32)
+    q_ids = rng.integers(0, model_cfg.vocab_size, (batch, Lq)).astype(np.int32)
     q_attn = np.ones((batch, Lq), np.int32)
     q_active = np.ones((batch, q_view), np.int32)
     params = model.init(
@@ -147,35 +189,42 @@ def main():
     class _Tok:  # search_tokens path; no text tokenizer needed
         pass
 
-    searcher = ColbertSearcher(cfg, _Tok(), params, storage, mesh=mesh)
+    results = {}
+    searchers = {}
+    for codec, cfg in (("sq", cfg_sq), ("pq", cfg_pq)):
+        storage = build_synthetic_index(embs, num_docs, d_view, dim, cfg)
+        searchers[codec] = ColbertSearcher(cfg, _Tok(), params, storage, mesh=mesh)
+        dt, res = bench_searcher(searchers[codec], q_ids, q_attn, q_active, topk, nprobe, depth, n_warm, n_iter)
+        results[codec] = {"qps": batch / dt, "p50_batch_ms": dt * 1e3, "pids": res.pids}
 
-    # --- fused pipeline ---
-    for _ in range(n_warm):
-        searcher.search_tokens(q_ids, q_attn, q_active, topk=topk, nprobe=nprobe, depth=depth, query_chunk=8)
+    # candidate-quality: recall@topk vs exact MaxSim oracle
+    oracle = exact_oracle_topk(searchers["pq"], q_ids, q_attn, q_active, topk)
+    for codec in results:
+        pids = results[codec].pop("pids")
+        results[codec]["recall_vs_exact"] = float(np.mean([
+            len(set(pids[i]) & set(oracle[i])) / topk for i in range(batch)
+        ]))
+
+    # --- naive (reference-shaped) per-query loop on the PQ index ---
+    nb = min(batch, 8)
+    naive_reference_loop(searchers["pq"], q_ids[:nb], q_attn[:nb], q_active[:nb], topk, nprobe, depth)
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        r = searcher.search_tokens(q_ids, q_attn, q_active, topk=topk, nprobe=nprobe, depth=depth, query_chunk=8)
-    fused_s = (time.perf_counter() - t0) / n_iter
-    qps = batch / fused_s
+    naive_reference_loop(searchers["pq"], q_ids[:nb], q_attn[:nb], q_active[:nb], topk, nprobe, depth)
+    naive_qps = nb / (time.perf_counter() - t0)
 
-    # --- naive (reference-shaped) loop ---
-    naive_batch = min(batch, 8)
-    naive_reference_loop(searcher, q_ids[:naive_batch], q_attn[:naive_batch], q_active[:naive_batch], topk, nprobe, depth)
-    t0 = time.perf_counter()
-    naive_reference_loop(searcher, q_ids[:naive_batch], q_attn[:naive_batch], q_active[:naive_batch], topk, nprobe, depth)
-    naive_s = time.perf_counter() - t0
-    naive_qps = naive_batch / naive_s
-
+    best = max(results, key=lambda c: results[c]["qps"])
+    qps = results[best]["qps"]
     print(json.dumps({
         "metric": "serve_qps_per_chip",
         "value": round(qps, 2),
         "unit": "queries/s",
         "vs_baseline": round(qps / naive_qps, 2),
         "detail": {
-            "p50_batch_latency_ms": round(fused_s * 1e3, 2),
-            "batch": batch, "num_docs": num_docs, "dim": cfg.model.dim,
+            "codec": best,
+            "per_codec": {c: {k: round(v, 3) for k, v in r.items()} for c, r in results.items()},
+            "batch": batch, "num_docs": num_docs, "dim": dim,
             "nprobe": nprobe, "depth": depth, "topk": topk,
-            "naive_qps": round(naive_qps, 2), "platform": jax.devices()[0].platform,
+            "naive_qps": round(naive_qps, 3), "platform": jax.devices()[0].platform,
         },
     }))
 
