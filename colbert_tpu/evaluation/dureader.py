@@ -72,6 +72,37 @@ def gen_iter_train_dev(
     return out
 
 
+def merge_to_reader_input(
+    examples: Sequence[Dict[str, Any]], results: Sequence[Sequence[tuple]]
+) -> List[Dict[str, Any]]:
+    """Attach retrieval triples to examples as ``res`` (the packing the
+    reference does in ``colbert_dataset.merge_to_reader_input``,
+    ``colbert_dataset.py:37-48``)."""
+    out = []
+    for t, r in zip(examples, results):
+        out.append({**t, "res": [(int(p), float(s), text) for p, s, text in r]})
+    return out
+
+
+def make_submission(
+    eval_data: Sequence[Dict[str, Any]],
+    passage2id: Dict[str, str],
+    topk: int = 50,
+) -> Dict[str, List[str]]:
+    """DuReader leaderboard submission: question -> top-k passage ids via the
+    ``passage2id.map.json`` text->id map (``dense_server_client.py:90-103``).
+    Each example carries ``res`` [(pid, score, text), ...]."""
+    sub: Dict[str, List[str]] = {}
+    for t in eval_data:
+        ids = []
+        for _, _, text in t["res"][:topk]:
+            pid = passage2id.get(text)
+            if pid is not None:
+                ids.append(pid)
+        sub[t["question"]] = ids
+    return sub
+
+
 def gen_dev_for_ce_test(examples: Iterable[Dict[str, Any]], top: int = 300) -> List[Dict[str, Any]]:
     """Package retrieval results for CE rerank evaluation."""
     out = []

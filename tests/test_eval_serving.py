@@ -159,3 +159,26 @@ def test_service_evaluate(setup_service):
     )
     # querying with the doc text itself: the doc must usually be found
     assert metrics["recall@5"] >= 2 / 3
+
+
+def test_merge_and_submission():
+    from colbert_tpu.evaluation.dureader import make_submission, merge_to_reader_input
+
+    exs = [{"question": "q1", "positive_ctxs": ["a"]}]
+    res = [[(3, 1.5, "a"), (7, 1.0, "b")]]
+    merged = merge_to_reader_input(exs, res)
+    assert merged[0]["res"][0] == (3, 1.5, "a")
+    sub = make_submission(merged, {"a": "P003", "b": "P007"}, topk=2)
+    assert sub["q1"] == ["P003", "P007"]
+
+
+def test_config_yaml_loads():
+    from colbert_tpu.config import load_config
+
+    cfg = load_config("configs/dureader.yaml")
+    assert cfg.model.hidden_size == 768
+    assert cfg.multiview.q_view == 16
+    assert cfg.serve.nprobe == 128
+    cfg2 = load_config("configs/dureader.yaml", {"train.learning_rate": 1e-4, "index.codec": "sq"})
+    assert cfg2.train.learning_rate == 1e-4
+    assert cfg2.index.codec == "sq"
