@@ -192,7 +192,19 @@ class ColbertTrainer:
                 if gstep % eval_every == 0:
                     metrics = self.evaluate(dev_ds) if dev_ds is not None else {}
                     self.save(gstep, metrics)
+        self._dump_log()
         return self.log
+
+    def _dump_log(self) -> None:
+        """Persist step/eval metrics as JSONL next to the checkpoints (the
+        reference only printed metrics; SURVEY §5 'printed, not persisted')."""
+        from colbert_tpu.utils.io import dump_jsonl
+
+        rows = [{"kind": "step", **s} for s in self.log.steps] + [
+            {"kind": "eval", **e} for e in self.log.evals
+        ]
+        dump_jsonl(rows, self.ckpt.dir / "train_log.jsonl")
+        self.timers.dump(str(self.ckpt.dir / "timers.json"))
 
     def evaluate(self, dev_ds: RetrievalDataset) -> Dict[str, float]:
         c = self.cfg.train
