@@ -29,6 +29,18 @@ from colbert_tpu.utils.logging import get_logger
 logger = get_logger("cli")
 
 
+def _setup_jax_cache() -> None:
+    """Persistent XLA compile cache — first-run compiles of the big jitted
+    programs (train step, k-means, fused search) are minutes on TPU."""
+    import os
+
+    import jax
+
+    cache = os.environ.get("COLBERT_TPU_JAX_CACHE", os.path.expanduser("~/.cache/colbert_tpu_jax"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _parse_overrides(pairs: List[str]) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for p in pairs:
@@ -212,6 +224,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.set_defaults(fn=cmd_mine)
 
     args = ap.parse_args(argv)
+    _setup_jax_cache()
     args.fn(args)
 
 
