@@ -101,6 +101,9 @@ class TrainConfig:
     warmup_ratio: float = 0.0
     max_grad_norm: float = 1.0
     per_device_batch_size: int = 34
+    # micro-batching: each optimizer step averages grads over this many
+    # sequential micro-batches (lax.scan inside the jitted step)
+    grad_accum_steps: int = 1
     num_epochs: int = 20
     score_temperature: float = 0.05
     seed: int = 1234

@@ -104,23 +104,44 @@ class ColbertTrainer:
     def _train_step_fn(self):
         model, T = self.model, self.cfg.train.score_temperature
         group = self.cfg.train.train_num_positives + self.cfg.train.train_num_negatives
+        accum = max(1, self.cfg.train.grad_accum_steps)
+
+        def loss_for(params, rng, q_ids, q_attn, q_active, d_ids, d_attn, d_active):
+            Q = model.apply(
+                {"params": params}, q_ids, q_attn, deterministic=False,
+                method=model.query, rngs={"dropout": jax.random.fold_in(rng, 0)},
+            )
+            D = model.apply(
+                {"params": params}, d_ids, d_attn, deterministic=False,
+                method=model.doc, rngs={"dropout": jax.random.fold_in(rng, 1)},
+            )
+            scores = maxsim_xla(Q, D, q_active, d_active) / T
+            labels = jnp.arange(scores.shape[0], dtype=jnp.int32) * group
+            return biencoder_nll_loss(scores, labels)
 
         def step(state: TrainState, rng, q_ids, q_attn, q_active, d_ids, d_attn, d_active):
-            def loss_fn(params):
-                Q = model.apply(
-                    {"params": params}, q_ids, q_attn, deterministic=False,
-                    method=model.query, rngs={"dropout": jax.random.fold_in(rng, 0)},
+            if accum == 1:
+                loss, grads = jax.value_and_grad(loss_for)(
+                    state.params, rng, q_ids, q_attn, q_active, d_ids, d_attn, d_active
                 )
-                D = model.apply(
-                    {"params": params}, d_ids, d_attn, deterministic=False,
-                    method=model.doc, rngs={"dropout": jax.random.fold_in(rng, 1)},
-                )
-                scores = maxsim_xla(Q, D, q_active, d_active) / T
-                labels = jnp.arange(scores.shape[0], dtype=jnp.int32) * group
-                return biencoder_nll_loss(scores, labels)
+                return state.apply_gradients(grads=grads), loss
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            return state.apply_gradients(grads=grads), loss
+            # in-batch negatives stay within each micro-batch (group-aligned split)
+            micro = lambda a: a.reshape(accum, a.shape[0] // accum, *a.shape[1:])
+            batches = (micro(q_ids), micro(q_attn), micro(q_active),
+                       micro(d_ids), micro(d_attn), micro(d_active))
+
+            def body(carry, inp):
+                gacc, lacc, i = carry
+                loss, grads = jax.value_and_grad(loss_for)(
+                    state.params, jax.random.fold_in(rng, 100 + i), *inp
+                )
+                return (jax.tree.map(jnp.add, gacc, grads), lacc + loss, i + 1), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (gsum, lsum, _), _ = jax.lax.scan(body, (zeros, 0.0, 0), batches)
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            return state.apply_gradients(grads=grads), lsum / accum
 
         return jax.jit(step, donate_argnums=(0,))
 

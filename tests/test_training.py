@@ -131,3 +131,22 @@ def test_ce_train_smoke(tiny_cfg, tokenizer, mesh8):
     assert 0.0 < mrr <= 1.0
     order = trainer.rerank("find apple", ["river stuff", "apple apple", "piano"], batch=2)
     assert len(order) == 3
+
+
+def test_grad_accum_smoke(tiny_cfg, tokenizer, mesh8):
+    import dataclasses
+
+    from colbert_tpu.training import ColbertTrainer
+
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        train=dataclasses.replace(
+            tiny_cfg.train, grad_accum_steps=2, per_device_batch_size=1,
+            checkpoint_dir=tiny_cfg.train.checkpoint_dir + "_accum",
+        ),
+    )
+    ds = RetrievalDataset(make_examples(16))
+    trainer = ColbertTrainer(cfg, tokenizer, mesh=mesh8)
+    log = trainer.train(ds, num_epochs=1)
+    losses = [s["loss"] for s in log.steps]
+    assert losses and np.isfinite(losses).all()
