@@ -192,14 +192,17 @@ class ShardedColbertSearcher:
             check_rep=False,
         )
 
-        def fn(params, Qm_inputs):
+        def fn(params, coarse, quant, arrays, Qm_inputs):
+            # index arrays are jit ARGUMENTS, never closure constants — a
+            # closed-over device array gets baked into the serialized HLO
+            # (hundreds of MB for the embedding table)
             q_ids, q_attn, q_active = Qm_inputs
             Q = model.apply({"params": params}, q_ids, q_attn, method=model.query)
             qm = q_active.astype(Q.dtype)
             Qm = Q * qm[..., None]
-            a = self.arrays
+            a = arrays
             return sharded(
-                self.coarse, self.quant, a["codes"], a["row_emb"], a["offsets"],
+                coarse, quant, a["codes"], a["row_emb"], a["offsets"],
                 a["emb2pid"], a["emb_table"], a["doc_offsets"], a["doclens"], a["pid_base"],
                 Qm, qm,
             )
@@ -222,6 +225,7 @@ class ShardedColbertSearcher:
         if key not in self._fns:
             self._fns[key] = self._make_fn(*key)
         ts, tp = self._fns[key](
-            self.params, (jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active))
+            self.params, self.coarse, self.quant, self.arrays,
+            (jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active)),
         )
         return SearchResult(np.asarray(tp), np.asarray(ts))
