@@ -88,3 +88,25 @@ def pad_to_multiple(n: int, m: int) -> int:
 
 def num_devices() -> int:
     return jax.device_count()
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host initialization (TPU pods / multi-process CPU testing).
+
+    The reference's analogue is ``init_dist()`` NCCL setup
+    (``colbert/utils/distributed.py:19-26``).  With args omitted, JAX
+    auto-detects the TPU pod environment; explicit args support manual
+    launches.  Safe to call once per process before any device use.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)

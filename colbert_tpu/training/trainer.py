@@ -203,7 +203,14 @@ class ColbertTrainer:
                 with self.timers.span("train_step"):
                     self.state, loss = train_step(self.state, rng, *self._shard_batch(batch))
                 gstep += 1
-                running_loss += float(loss)
+                loss_f = float(loss)
+                if not np.isfinite(loss_f):
+                    # parity with the reference's NaN assert (awtrainer.py:1320),
+                    # but with actionable context
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_f} at step {gstep} (epoch {epoch})"
+                    )
+                running_loss += loss_f
                 running_n += 1
                 if gstep % c.log_every == 0 or gstep == 1:
                     avg = running_loss / max(1, running_n)
