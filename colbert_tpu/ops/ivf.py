@@ -123,7 +123,7 @@ def ivf_probe_adc(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "cap", "depth", "token_chunk")
+    jax.jit, static_argnames=("nprobe", "cap", "depth", "token_chunk", "use_pallas")
 )
 def ivf_probe_sq(
     q_tokens: jax.Array,          # (T, d) query token embeddings
@@ -137,11 +137,21 @@ def ivf_probe_sq(
     cap: int,
     depth: int,
     token_chunk: int = 32,
+    use_pallas: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """SQ-codec IVF scan: same contract as :func:`ivf_probe_adc`, but
     candidate scoring is an int8 MXU matmul (see :mod:`colbert_tpu.ops.sq`)
-    instead of a PQ table lookup — the TPU-native fast path."""
+    instead of a PQ table lookup — the TPU-native fast path.
+
+    On TPU backends (``use_pallas`` auto-True) the list scan runs in the
+    DMA-streaming Pallas kernel (:mod:`colbert_tpu.ops.sq_probe_pallas`);
+    XLA's generic row-gather formulation is kept for CPU and as a
+    correctness oracle.
+    """
     from colbert_tpu.ops.sq import sq_query
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu", "gpu")
 
     T, d = q_tokens.shape
     qs_all = sq_query(q_tokens, proj, scales)  # (T, sq_dim)
@@ -151,24 +161,33 @@ def ivf_probe_sq(
     qs_pad = jnp.pad(qs_all, ((0, T_pad - T), (0, 0)))
     lengths = offsets[1:] - offsets[:-1]
 
+    if use_pallas:
+        from colbert_tpu.ops.sq_probe_pallas import pad_codes_for_scan, sq_list_scan
+
+        codes_padded = pad_codes_for_scan(codes8_sorted, cap)
+
     def chunk_body(inp):
         q, qs = inp  # (tc, d), (tc, sq_dim)
         coarse = jnp.dot(q, coarse_centroids.T, preferred_element_type=jnp.float32)
         _, lists = jax.lax.top_k(coarse, nprobe)
         base = offsets[lists]
         ln = lengths[lists]
-        idx = base[..., None] + jnp.arange(cap)[None, None, :]
-        valid = jnp.arange(cap)[None, None, :] < ln[..., None]
-        idx = jnp.clip(idx, 0, codes8_sorted.shape[0] - 1)
-        rows = codes8_sorted[idx.reshape(idx.shape[0], -1)]  # (tc, R, sq_dim) int8
-        scores = jnp.einsum(
-            "trd,td->tr", rows.astype(jnp.bfloat16), qs.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-        scores = jnp.where(valid.reshape(valid.shape[0], -1), scores, -jnp.inf)
+        if use_pallas:
+            scores = sq_list_scan(base, ln, qs, codes_padded, cap=cap)  # (tc, nprobe*cap)
+        else:
+            idx_full = base[..., None] + jnp.arange(cap)[None, None, :]
+            valid = jnp.arange(cap)[None, None, :] < ln[..., None]
+            idx_c = jnp.clip(idx_full, 0, codes8_sorted.shape[0] - 1)
+            rows = codes8_sorted[idx_c.reshape(idx_c.shape[0], -1)]  # (tc, R, sq_dim) int8
+            scores = jnp.einsum(
+                "trd,td->tr", rows.astype(jnp.bfloat16), qs.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            scores = jnp.where(valid.reshape(valid.shape[0], -1), scores, -jnp.inf)
         s, i = jax.lax.top_k(scores, depth)
+        idx = base[..., None] + jnp.arange(cap)[None, None, :]
         rr = jnp.take_along_axis(idx.reshape(idx.shape[0], -1), i, axis=1)
-        rr = jnp.where(jnp.isfinite(s), rr, -1)
+        rr = jnp.where(jnp.isfinite(s), jnp.minimum(rr, codes8_sorted.shape[0] - 1), -1)
         return s, rr.astype(jnp.int32)
 
     scores, rows = jax.lax.map(

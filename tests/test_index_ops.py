@@ -157,3 +157,27 @@ def test_ivf_probe_onehot_method_matches(rng):
     # selected candidates must be essentially the same set
     for i in range(3):
         assert len(set(np.asarray(r1)[i]) & set(np.asarray(r2)[i])) >= 8
+
+
+def test_ivf_probe_sq_pallas_matches_gather(rng):
+    from colbert_tpu.ops.ivf import ivf_probe_sq
+    from colbert_tpu.ops.sq import sq_encode, sq_train
+
+    n, d, K = 2000, 32, 8
+    x, _, _ = blobs(rng, n, K, d, scale=0.2)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cents, assign = kmeans(jnp.asarray(x), K, iters=6, chunk=512)
+    proj, scales = sq_train(jnp.asarray(x), 16)
+    codes8 = np.asarray(sq_encode(jnp.asarray(x), proj, scales, chunk=512))
+    perm, offsets = sort_by_list(np.asarray(assign), K)
+    cap = int((offsets[1:] - offsets[:-1]).max())
+    q = rng.normal(size=(5, d)).astype(np.float32)
+    kw = dict(nprobe=K, cap=cap, depth=12, token_chunk=5)
+    s1, r1 = ivf_probe_sq(jnp.asarray(q), cents, proj, scales, jnp.asarray(codes8[perm]),
+                          jnp.asarray(offsets), use_pallas=False, **kw)
+    # pallas path runs in interpret mode on the CPU test backend
+    s2, r2 = ivf_probe_sq(jnp.asarray(q), cents, proj, scales, jnp.asarray(codes8[perm]),
+                          jnp.asarray(offsets), use_pallas=True, **kw)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-2, atol=0.05)
+    for i in range(5):
+        assert len(set(np.asarray(r1)[i]) & set(np.asarray(r2)[i])) >= 10
