@@ -152,6 +152,8 @@ def ivf_probe_sq(
 
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    if use_pallas:
+        cap = ((cap + 31) // 32) * 32  # int8 sublane tile alignment
 
     T, d = q_tokens.shape
     qs_all = sq_query(q_tokens, proj, scales)  # (T, sq_dim)

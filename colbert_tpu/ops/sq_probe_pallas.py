@@ -30,13 +30,13 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(starts_ref, lens_ref, qs_ref, codes_ref, out_ref, buf_ref, sem_ref, *, nprobe, cap):
     def dma(slot, j):
         return pltpu.make_async_copy(
-            codes_ref.at[pl.ds(starts_ref[0, j], cap), :],
+            codes_ref.at[pl.ds(starts_ref[0, 0, j], cap), :],
             buf_ref.at[slot],
             sem_ref.at[slot],
         )
 
     dma(0, 0).start()
-    qs = qs_ref[0, :].astype(jnp.bfloat16)  # (sq_dim,)
+    qs = qs_ref[0, 0, :].astype(jnp.bfloat16)  # (sq_dim,)
 
     def body(j, _):
         slot = jax.lax.rem(j, 2)
@@ -52,9 +52,9 @@ def _kernel(starts_ref, lens_ref, qs_ref, codes_ref, out_ref, buf_ref, sem_ref, 
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )[:, 0]
-        ln = lens_ref[0, j]
+        ln = lens_ref[0, 0, j]
         i = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
-        out_ref[0, pl.ds(j * cap, cap)] = jnp.where(i < ln, s, -jnp.inf)
+        out_ref[0, 0, pl.ds(j * cap, cap)] = jnp.where(i < ln, s, -jnp.inf)
         return 0
 
     jax.lax.fori_loop(0, nprobe, body, 0)
@@ -78,19 +78,23 @@ def sq_list_scan(
     """
     if interpret is None:
         interpret = jax.default_backend() in ("cpu", "gpu")
+    if cap % 32 != 0:
+        raise ValueError(f"cap must be a multiple of 32 (int8 sublane tile), got {cap}")
     T, nprobe = starts.shape
     sq_dim = qs.shape[1]
-    return pl.pallas_call(
+    # 3-D shapes: Mosaic requires the last two block dims to divide (8, 128)
+    # or equal the array dims — a (1, 1, n) block over (T, 1, n) satisfies it.
+    out = pl.pallas_call(
         functools.partial(_kernel, nprobe=nprobe, cap=cap),
-        out_shape=jax.ShapeDtypeStruct((T, nprobe * cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, 1, nprobe * cap), jnp.float32),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, nprobe), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nprobe), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, sq_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nprobe), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nprobe), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, sq_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # codes stay in HBM; manual DMA
         ],
-        out_specs=pl.BlockSpec((1, nprobe * cap), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 1, nprobe * cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, cap, sq_dim), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
@@ -104,7 +108,8 @@ def sq_list_scan(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(starts, lens, qs, codes8)
+    )(starts[:, None, :], lens[:, None, :], qs[:, None, :], codes8)
+    return out[:, 0, :]
 
 
 def pad_codes_for_scan(codes8, cap: int):

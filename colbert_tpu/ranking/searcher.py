@@ -81,11 +81,17 @@ def retrieval_core(
     rerank_cap: int,
     topk: int,
     query_chunk: int,
+    uniform_doclen: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Everything after query encode: probe -> candidate scores -> dedup ->
     gather -> exact MaxSim -> local top-k.  Pure function of device arrays
     so it can run standalone (single chip) or per-shard inside shard_map.
-    ``probe_fn`` encapsulates the codec (PQ ADC or SQ int8 matmul)."""
+    ``probe_fn`` encapsulates the codec (PQ ADC or SQ int8 matmul).
+
+    ``uniform_doclen``: every doc has exactly ``rerank_cap`` vectors
+    (multiview).  The flat table is then reshaped to one row per doc —
+    free, same memory layout — so the re-rank gather moves doc-sized
+    contiguous blocks (~10x faster on TPU than per-token-row gathers)."""
     B, q_view, _ = Qm.shape
 
     tokens = Qm.reshape(B * q_view, -1)
@@ -99,18 +105,27 @@ def retrieval_core(
     pids = pids.reshape(B, q_view * depth)
     adc_scores = adc_scores.reshape(B, q_view * depth)
 
+    num_docs = doclens.shape[0]
+    dim = Qm.shape[-1]
+    if uniform_doclen:
+        # (N, dim) -> (num_docs, rerank_cap * dim): same layout, no copy
+        emb_by_doc = emb_table[: num_docs * rerank_cap].reshape(num_docs, rerank_cap * dim)
+
     def query_chunk_body(inp):
         p, s, q, qmask = inp  # (qc, qv*depth), ..., (qc, qv, dim), (qc, qv)
         cand, _ = jax.vmap(lambda pp, ss: dedup_pids_by_score(pp, ss, max_cand))(p, s)
         safe = jnp.maximum(cand, 0)
-        base = doc_offsets[safe]                       # (qc, max_cand)
         ln = doclens[safe]
-        idx = base[..., None] + jnp.arange(rerank_cap)[None, None, :]
         valid = (jnp.arange(rerank_cap)[None, None, :] < ln[..., None]) & (cand >= 0)[..., None]
-        idx = jnp.clip(idx, 0, emb_table.shape[0] - 1)
-        D = emb_table[idx.reshape(idx.shape[0], -1)].reshape(
-            idx.shape[0], max_cand, rerank_cap, -1
-        )
+        if uniform_doclen:
+            D = emb_by_doc[safe].reshape(safe.shape[0], max_cand, rerank_cap, dim)
+        else:
+            base = doc_offsets[safe]                   # (qc, max_cand)
+            idx = base[..., None] + jnp.arange(rerank_cap)[None, None, :]
+            idx = jnp.clip(idx, 0, emb_table.shape[0] - 1)
+            D = emb_table[idx.reshape(idx.shape[0], -1)].reshape(
+                idx.shape[0], max_cand, rerank_cap, -1
+            )
         scores = maxsim_qd(q.astype(emb_table.dtype), D, qmask, valid.astype(emb_table.dtype))
         scores = jnp.where(cand >= 0, scores, -jnp.inf)
         k = min(topk, max_cand)
@@ -181,6 +196,7 @@ class ColbertSearcher:
         self.rerank_cap = (
             self.cfg.multiview.d_view if meta.get("multiview", True) else int(doclens.max() or 1)
         )
+        self.uniform_doclen = bool(len(doclens) and (doclens == self.rerank_cap).all())
         self._search_fns = {}
 
     # ---- jitted pipeline ----
@@ -189,6 +205,7 @@ class ColbertSearcher:
         model = self.model
         rerank_cap = self.rerank_cap
         codec = self.codec
+        uniform = self.uniform_doclen
 
         def fn(params, coarse, quant, codes, offsets, row_emb, emb2pid,
                emb_table, doc_offsets, doclens, q_ids, q_attn, q_active):
@@ -203,6 +220,7 @@ class ColbertSearcher:
                 emb_table, doc_offsets, doclens,
                 depth=depth, max_cand=max_cand,
                 rerank_cap=rerank_cap, topk=topk, query_chunk=query_chunk,
+                uniform_doclen=uniform,
             )
 
         return jax.jit(fn)

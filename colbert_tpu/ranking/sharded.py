@@ -148,6 +148,10 @@ class ShardedColbertSearcher:
             cfg.multiview.d_view if meta.get("multiview", True)
             else max(1, int(np.asarray(storage.read_doclens()).max()))
         )
+        # uniform doclens (multiview): shard padding keeps the doc-major
+        # layout intact (padded docs have len 0 and are masked)
+        dl_all = np.asarray(storage.read_doclens())
+        self.uniform_doclen = bool(len(dl_all) and (dl_all == self.rerank_cap).all())
         self._fns: Dict[Tuple, Any] = {}
 
     def _make_fn(self, topk, nprobe, depth, cap, max_cand, query_chunk):
@@ -155,6 +159,7 @@ class ShardedColbertSearcher:
         rerank_cap = self.rerank_cap
         mesh = self.mesh
         codec = self.codec
+        uniform = self.uniform_doclen
         k_local = min(topk, max_cand)
 
         def local(coarse, quant, codes, row_emb, offsets, emb2pid,
@@ -170,6 +175,7 @@ class ShardedColbertSearcher:
                 sq(emb2pid), sq(emb_table), sq(doc_offsets), sq(doclens),
                 depth=depth, max_cand=max_cand,
                 rerank_cap=rerank_cap, topk=k_local, query_chunk=query_chunk,
+                uniform_doclen=uniform,
             )
             tp = jnp.where(tp >= 0, tp + sq(pid_base)[0], -1)
             # ICI merge: gather every shard's local top-k, reduce to global top-k
