@@ -198,6 +198,55 @@ def ivf_probe_sq(
     return scores.reshape(T_pad, depth)[:T], rows.reshape(T_pad, depth)[:T]
 
 
+def dedup_pids_by_approx_maxsim(
+    pids: jax.Array,       # (n,) candidate pid per (token, depth-slot), -1 invalid
+    token_ids: jax.Array,  # (n,) query-token index of each slot
+    scores: jax.Array,     # (n,) codec score of each slot (-inf invalid)
+    num_tokens: int,
+    max_out: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Select candidate docs by APPROXIMATE MAXSIM over the sampled rows:
+    per doc, sum over query tokens of the best row score that token found
+    for the doc.  A far better candidate ranking than the best-single-row
+    max (:func:`dedup_pids_by_score`) — the WARP/PLAID-style insight — so
+    the exact re-rank can run over fewer candidates at equal recall.
+
+    Static-shape device algorithm: one sort by the composite key
+    ``pid * num_tokens + token``, a segment-max per (pid, token) run, then a
+    segment-sum per pid run (runs stay pid-sorted), then top-``max_out``.
+    """
+    n = pids.shape[0]
+    big = jnp.iinfo(jnp.int32).max
+    key = jnp.where(pids >= 0, pids * num_tokens + token_ids, big)
+    order = jnp.argsort(key)
+    sk = key[order]
+    ss = scores[order]
+    sp = pids[order]
+
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    seg = jnp.cumsum(first) - 1
+    run_max = jax.ops.segment_max(ss, seg, num_segments=n)            # per (pid, token)
+    run_pid = jax.ops.segment_max(jnp.where(first, sp, -1), seg, num_segments=n)
+
+    pid_first = jnp.concatenate(
+        [jnp.ones((1,), bool), run_pid[1:] != run_pid[:-1]]
+    ) & (run_pid >= 0)
+    pseg = jnp.cumsum(pid_first) - 1
+    contrib = jnp.where(jnp.isfinite(run_max) & (run_pid >= 0), run_max, 0.0)
+    doc_score = jax.ops.segment_sum(contrib, pseg, num_segments=n)
+    doc_pid = jax.ops.segment_max(jnp.where(pid_first, run_pid, -1), pseg, num_segments=n)
+    doc_valid = doc_pid >= 0
+    doc_score = jnp.where(doc_valid, doc_score, -jnp.inf)
+
+    k = min(max_out, n)
+    top_s, top_i = jax.lax.top_k(doc_score, k)
+    out_pids = jnp.where(jnp.isfinite(top_s), doc_pid[top_i], -1).astype(jnp.int32)
+    if k < max_out:
+        out_pids = jnp.pad(out_pids, (0, max_out - k), constant_values=-1)
+        top_s = jnp.pad(top_s, (0, max_out - k), constant_values=-jnp.inf)
+    return out_pids, top_s
+
+
 def dedup_pids_by_score(
     pids: jax.Array, scores: jax.Array, max_out: int
 ) -> Tuple[jax.Array, jax.Array]:

@@ -36,7 +36,7 @@ def _kernel(starts_ref, lens_ref, qs_ref, codes_ref, out_ref, buf_ref, sem_ref, 
         )
 
     dma(0, 0).start()
-    qs = qs_ref[0, 0, :].astype(jnp.bfloat16)  # (sq_dim,)
+    qs = qs_ref[0].astype(jnp.bfloat16)  # (1, sq_dim) — keep 2-D for Mosaic
 
     def body(j, _):
         slot = jax.lax.rem(j, 2)
@@ -48,8 +48,8 @@ def _kernel(starts_ref, lens_ref, qs_ref, codes_ref, out_ref, buf_ref, sem_ref, 
         dma(slot, j).wait()
         rows = buf_ref[slot].astype(jnp.bfloat16)  # (cap, sq_dim)
         s = jax.lax.dot_general(
-            rows, qs[:, None],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            rows, qs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )[:, 0]
         ln = lens_ref[0, 0, j]

@@ -34,7 +34,12 @@ from colbert_tpu.config import ColbertConfig
 from colbert_tpu.indexing.storage import IndexStorage
 from colbert_tpu.models import ColbertModel
 from colbert_tpu.models.sharding import param_shardings
-from colbert_tpu.ops.ivf import dedup_pids_by_score, ivf_probe_adc, ivf_probe_sq
+from colbert_tpu.ops.ivf import (
+    dedup_pids_by_approx_maxsim,
+    dedup_pids_by_score,
+    ivf_probe_adc,
+    ivf_probe_sq,
+)
 from colbert_tpu.ops.maxsim import maxsim_qd
 from colbert_tpu.parallel.mesh import make_mesh
 from colbert_tpu.tokenization import ColbertTokenizer
@@ -111,9 +116,13 @@ def retrieval_core(
         # (N, dim) -> (num_docs, rerank_cap * dim): same layout, no copy
         emb_by_doc = emb_table[: num_docs * rerank_cap].reshape(num_docs, rerank_cap * dim)
 
+    token_ids = jnp.repeat(jnp.arange(q_view, dtype=jnp.int32), depth)
+
     def query_chunk_body(inp):
         p, s, q, qmask = inp  # (qc, qv*depth), ..., (qc, qv, dim), (qc, qv)
-        cand, _ = jax.vmap(lambda pp, ss: dedup_pids_by_score(pp, ss, max_cand))(p, s)
+        cand, _ = jax.vmap(
+            lambda pp, ss: dedup_pids_by_approx_maxsim(pp, token_ids, ss, q_view, max_cand)
+        )(p, s)
         safe = jnp.maximum(cand, 0)
         ln = doclens[safe]
         valid = (jnp.arange(rerank_cap)[None, None, :] < ln[..., None]) & (cand >= 0)[..., None]

@@ -181,3 +181,19 @@ def test_ivf_probe_sq_pallas_matches_gather(rng):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-2, atol=0.05)
     for i in range(5):
         assert len(set(np.asarray(r1)[i]) & set(np.asarray(r2)[i])) >= 10
+
+
+def test_dedup_by_approx_maxsim():
+    from colbert_tpu.ops.ivf import dedup_pids_by_approx_maxsim
+
+    # 2 tokens; doc 5 found by both tokens (0.9 + 0.8), doc 3 only by one (1.0)
+    pids = jnp.asarray([5, 3, -1, 5, 5, 7], jnp.int32)
+    toks = jnp.asarray([0, 0, 0, 1, 1, 1], jnp.int32)
+    scores = jnp.asarray([0.9, 1.0, -np.inf, 0.8, 0.5, 0.2], jnp.float32)
+    out_pids, out_scores = dedup_pids_by_approx_maxsim(pids, toks, scores, 2, max_out=3)
+    got = dict(zip(np.asarray(out_pids).tolist(), np.asarray(out_scores).tolist()))
+    assert got[5] == pytest.approx(1.7)   # 0.9 + max(0.8, 0.5)
+    assert got[3] == pytest.approx(1.0)
+    assert got[7] == pytest.approx(0.2)
+    # approx-maxsim ordering: doc 5 ranks first
+    assert int(out_pids[0]) == 5
