@@ -36,7 +36,9 @@ def _kernel(starts_ref, lens_ref, qs_ref, codes_ref, out_ref, buf_ref, sem_ref, 
         )
 
     dma(0, 0).start()
-    qs = qs_ref[0].astype(jnp.bfloat16)  # (1, sq_dim) — keep 2-D for Mosaic
+    # f32 operands: Mosaic's int8->bf16->MXU chain miscompiles (vector.broadcast
+    # verification); the per-list matmul is tiny so f32 costs nothing
+    qs = qs_ref[0].astype(jnp.float32)  # (1, sq_dim) — keep 2-D for Mosaic
 
     def body(j, _):
         slot = jax.lax.rem(j, 2)
@@ -46,7 +48,7 @@ def _kernel(starts_ref, lens_ref, qs_ref, codes_ref, out_ref, buf_ref, sem_ref, 
             dma(jax.lax.rem(j + 1, 2), j + 1).start()
 
         dma(slot, j).wait()
-        rows = buf_ref[slot].astype(jnp.bfloat16)  # (cap, sq_dim)
+        rows = buf_ref[slot].astype(jnp.float32)  # (cap, sq_dim)
         s = jax.lax.dot_general(
             rows, qs,
             dimension_numbers=(((1,), (1,)), ((), ())),

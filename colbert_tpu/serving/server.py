@@ -53,8 +53,12 @@ class RetrievalService:
         bs = s.query_batch_size
         for lo in range(0, len(questions), bs):
             chunk = list(questions[lo : lo + bs])
+            n_real = len(chunk)
+            # pad the tail batch to the static size: one compiled program
+            # serves every request shape
+            chunk = chunk + [""] * (bs - n_real)
             res = self.searcher.search(chunk, topk=topk, nprobe=nprobe, depth=depth)
-            for i in range(len(chunk)):
+            for i in range(n_real):
                 row: List[Triple] = []
                 for pid, score in zip(res.pids[i], res.scores[i]):
                     if pid < 0:
