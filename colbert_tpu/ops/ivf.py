@@ -153,7 +153,9 @@ def ivf_probe_sq(
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu", "gpu")
     if use_pallas:
-        cap = ((cap + 31) // 32) * 32  # int8 sublane tile alignment
+        # +31: DMA starts are aligned DOWN to the 32-row int8 sublane tile,
+        # so a window may need up to 31 extra rows; then lane-align to 128.
+        cap = ((cap + 31 + 127) // 128) * 128
 
     T, d = q_tokens.shape
     qs_all = sq_query(q_tokens, proj, scales)  # (T, sq_dim)
@@ -175,7 +177,10 @@ def ivf_probe_sq(
         base = offsets[lists]
         ln = lengths[lists]
         if use_pallas:
-            scores = sq_list_scan(base, ln, qs, codes_padded, cap=cap)  # (tc, nprobe*cap)
+            aligned = (base // 32) * 32
+            delta = base - aligned
+            base = aligned  # row mapping below follows the aligned window
+            scores = sq_list_scan(aligned, delta, delta + ln, qs, codes_padded, cap=cap)
         else:
             idx_full = base[..., None] + jnp.arange(cap)[None, None, :]
             valid = jnp.arange(cap)[None, None, :] < ln[..., None]
