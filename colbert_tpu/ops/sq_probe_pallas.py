@@ -64,18 +64,19 @@ def _kernel(starts_ref, lo_ref, hi_ref, qsr_ref, codes2_ref, out_ref, buf_ref, s
 
         dma(slot, j).wait()
         rows = buf_ref[slot].astype(jnp.float32)  # (half, LANES) = pack rows each
+        # computed pre-transposed as (pack, half): a (half, pack) result would
+        # lane-pad pack->128 in VMEM (64x waste); here lanes carry `half`
         s = jax.lax.dot_general(
-            rows, qsr,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            qsr, rows,
+            dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (half, pack): CSR row (2r + c) score at (r, c)
+        )  # (pack, half): CSR row (pack*r + c) score at (c, r)
         lo = lo_ref[0, 0, j]
         hi = hi_ref[0, 0, j]
-        i = pack * jax.lax.broadcasted_iota(jnp.int32, (half, pack), 0) + jax.lax.broadcasted_iota(
-            jnp.int32, (half, pack), 1
+        i = pack * jax.lax.broadcasted_iota(jnp.int32, (pack, half), 1) + jax.lax.broadcasted_iota(
+            jnp.int32, (pack, half), 0
         )
-        off = pl.multiple_of(j * half, 8)  # cap%128==0 -> half%(8*?) holds
-        out_ref[0, pl.ds(off, half), :] = jnp.where((i >= lo) & (i < hi), s, -jnp.inf)
+        out_ref[0, j, :, :] = jnp.where((i >= lo) & (i < hi), s, -jnp.inf)
         return 0
 
     jax.lax.fori_loop(0, nprobe, body, 0)
@@ -121,7 +122,7 @@ def sq_list_scan(
 
     out = pl.pallas_call(
         functools.partial(_kernel, nprobe=nprobe, cap=cap, pack=pack),
-        out_shape=jax.ShapeDtypeStruct((T, nprobe * half, pack), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, nprobe, pack, half), jnp.float32),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 1, nprobe), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
@@ -130,13 +131,15 @@ def sq_list_scan(
             pl.BlockSpec((1, LANES, pack), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # codes stay in HBM; manual DMA
         ],
-        out_specs=pl.BlockSpec((1, nprobe * half, pack), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, nprobe, pack, half), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, half, LANES), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(2 * half * LANES + 8 * nprobe * cap + 2 * 1024 * 1024) * 2,
+            vmem_limit_bytes=12 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * nprobe * cap * sq_dim,
@@ -145,8 +148,8 @@ def sq_list_scan(
         ),
         interpret=interpret,
     )(starts[:, None, :], lo[:, None, :], hi[:, None, :], qsr, codes2)
-    # row-major flatten restores CSR row order: (j*half + r)*pack + c = j*cap + (pack*r + c)
-    return out.reshape(T, nprobe * cap)
+    # restore CSR row order: (t, j, c, r) -> slot j*cap + pack*r + c
+    return jnp.transpose(out, (0, 1, 3, 2)).reshape(T, nprobe * cap)
 
 
 def pad_codes_for_scan(codes8, cap: int):
