@@ -164,6 +164,30 @@ def cmd_evaluate(args) -> None:
     else:
         service = _make_service(cfg, args)
         retrieve = lambda qs, k: service.retrieve(qs, topk=k)
+    if args.rerank_ce:
+        # two-stage: retrieve -> cross-encoder rerank of the top eval_topk
+        # (reference stage 6, ce_trainer.py:97-123)
+        from colbert_tpu.training import CETrainer
+
+        tok = _tokenizer(cfg)
+        ce = CETrainer(cfg, tok)
+        ce._init_state(1)
+        latest = ce.ckpt.latest_step()
+        if latest is None:
+            raise FileNotFoundError(f"no CE checkpoints under {ce.ckpt.dir}")
+        ce_params = ce.ckpt.restore(latest, {"params": ce.state.params, "step": 0})["params"]
+        base_retrieve = retrieve
+
+        def retrieve(qs, k):  # noqa: F811
+            rows = base_retrieve(qs, max(k, cfg.ce_train.eval_topk))
+            out = []
+            for q, row in zip(qs, rows):
+                cands = [t for _, _, t in row]
+                order = ce.rerank(q, cands[: cfg.ce_train.eval_topk], params=ce_params)
+                reranked = [row[i] for i in order] + row[cfg.ce_train.eval_topk :]
+                out.append(reranked[:k])
+            return out
+
     metrics = evaluate_retrieval(retrieve, eval_data, topk=args.topk)
     print(json.dumps(metrics, indent=2))
     if args.out:
@@ -213,6 +237,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     p = sub.add_parser("evaluate"); common(p, corpus=False, data=True)
     p.add_argument("--corpus", default=None)
     p.add_argument("--remote", action="store_true")
+    p.add_argument("--rerank-ce", action="store_true", help="apply the cross-encoder second stage")
     p.add_argument("--topk", type=int, default=100)
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_evaluate)
