@@ -177,6 +177,11 @@ class ServeConfig:
     query_batch_size: int = 144
     # fixed candidate budget after pid dedup (static shape for XLA)
     max_candidates: int = 4096
+    # candidate ranking for the dedup stage: "best_row" (cheap: best single
+    # codec score per doc) or "approx_maxsim" (WARP/PLAID-style per-token
+    # max + sum; better ordering, allows a smaller max_candidates, but costs
+    # an extra segmented reduction)
+    candidate_ranking: str = "best_row"
     host: str = "127.0.0.1"
     port: int = 9090
     authkey: str = "colbert-tpu"

@@ -226,26 +226,32 @@ def dedup_pids_by_approx_maxsim(
     order = jnp.argsort(key)
     sk = key[order]
     ss = scores[order]
-    sp = pids[order]
+    sp = jnp.where(sk != big, pids[order], -1)
 
-    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
-    seg = jnp.cumsum(first) - 1
-    run_max = jax.ops.segment_max(ss, seg, num_segments=n)            # per (pid, token)
-    run_pid = jax.ops.segment_max(jnp.where(first, sp, -1), seg, num_segments=n)
+    # segmented scans instead of segment_max/sum: scatters serialize on TPU,
+    # associative scans vectorize.
+    def seg_op(make_combine):
+        def combine(a, b):
+            aval, areset = a
+            bval, breset = b
+            return jnp.where(breset, bval, make_combine(aval, bval)), areset | breset
 
-    pid_first = jnp.concatenate(
-        [jnp.ones((1,), bool), run_pid[1:] != run_pid[:-1]]
-    ) & (run_pid >= 0)
-    pseg = jnp.cumsum(pid_first) - 1
-    contrib = jnp.where(jnp.isfinite(run_max) & (run_pid >= 0), run_max, 0.0)
-    doc_score = jax.ops.segment_sum(contrib, pseg, num_segments=n)
-    doc_pid = jax.ops.segment_max(jnp.where(pid_first, run_pid, -1), pseg, num_segments=n)
-    doc_valid = doc_pid >= 0
-    doc_score = jnp.where(doc_valid, doc_score, -jnp.inf)
+        return combine
+
+    run_first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    run_max, _ = jax.lax.associative_scan(seg_op(jnp.maximum), (ss, run_first))
+    run_last = jnp.concatenate([run_first[1:], jnp.ones((1,), bool)])
+
+    # per-pid sum of per-(pid, token) maxima: only run-last slots contribute
+    pid_first = jnp.concatenate([jnp.ones((1,), bool), sp[1:] != sp[:-1]])
+    contrib = jnp.where(run_last & (sp >= 0) & jnp.isfinite(run_max), run_max, 0.0)
+    doc_sum, _ = jax.lax.associative_scan(seg_op(jnp.add), (contrib, pid_first))
+    pid_last = jnp.concatenate([pid_first[1:], jnp.ones((1,), bool)])
+    doc_score = jnp.where(pid_last & (sp >= 0), doc_sum, -jnp.inf)
 
     k = min(max_out, n)
     top_s, top_i = jax.lax.top_k(doc_score, k)
-    out_pids = jnp.where(jnp.isfinite(top_s), doc_pid[top_i], -1).astype(jnp.int32)
+    out_pids = jnp.where(jnp.isfinite(top_s), sp[top_i], -1).astype(jnp.int32)
     if k < max_out:
         out_pids = jnp.pad(out_pids, (0, max_out - k), constant_values=-1)
         top_s = jnp.pad(top_s, (0, max_out - k), constant_values=-jnp.inf)

@@ -87,6 +87,7 @@ def retrieval_core(
     topk: int,
     query_chunk: int,
     uniform_doclen: bool = False,
+    candidate_ranking: str = "best_row",
 ) -> Tuple[jax.Array, jax.Array]:
     """Everything after query encode: probe -> candidate scores -> dedup ->
     gather -> exact MaxSim -> local top-k.  Pure function of device arrays
@@ -117,12 +118,14 @@ def retrieval_core(
         emb_by_doc = emb_table[: num_docs * rerank_cap].reshape(num_docs, rerank_cap * dim)
 
     token_ids = jnp.repeat(jnp.arange(q_view, dtype=jnp.int32), depth)
+    if candidate_ranking == "approx_maxsim":
+        dedup = lambda pp, ss: dedup_pids_by_approx_maxsim(pp, token_ids, ss, q_view, max_cand)
+    else:
+        dedup = lambda pp, ss: dedup_pids_by_score(pp, ss, max_cand)
 
     def query_chunk_body(inp):
         p, s, q, qmask = inp  # (qc, qv*depth), ..., (qc, qv, dim), (qc, qv)
-        cand, _ = jax.vmap(
-            lambda pp, ss: dedup_pids_by_approx_maxsim(pp, token_ids, ss, q_view, max_cand)
-        )(p, s)
+        cand, _ = jax.vmap(dedup)(p, s)
         safe = jnp.maximum(cand, 0)
         ln = doclens[safe]
         valid = (jnp.arange(rerank_cap)[None, None, :] < ln[..., None]) & (cand >= 0)[..., None]
@@ -215,6 +218,7 @@ class ColbertSearcher:
         rerank_cap = self.rerank_cap
         codec = self.codec
         uniform = self.uniform_doclen
+        ranking = self.cfg.serve.candidate_ranking
 
         def fn(params, coarse, quant, codes, offsets, row_emb, emb2pid,
                emb_table, doc_offsets, doclens, q_ids, q_attn, q_active):
@@ -229,7 +233,7 @@ class ColbertSearcher:
                 emb_table, doc_offsets, doclens,
                 depth=depth, max_cand=max_cand,
                 rerank_cap=rerank_cap, topk=topk, query_chunk=query_chunk,
-                uniform_doclen=uniform,
+                uniform_doclen=uniform, candidate_ranking=ranking,
             )
 
         return jax.jit(fn)

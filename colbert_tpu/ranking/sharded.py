@@ -176,6 +176,7 @@ class ShardedColbertSearcher:
                 depth=depth, max_cand=max_cand,
                 rerank_cap=rerank_cap, topk=k_local, query_chunk=query_chunk,
                 uniform_doclen=uniform,
+                candidate_ranking=self.cfg.serve.candidate_ranking,
             )
             tp = jnp.where(tp >= 0, tp + sq(pid_base)[0], -1)
             # ICI merge: gather every shard's local top-k, reduce to global top-k
