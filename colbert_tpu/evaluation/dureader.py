@@ -59,7 +59,7 @@ def gen_iter_train_dev(
     fresh top-``top`` retrievals not already kept."""
     out = []
     for t in examples:
-        old = list(t["hard_negative_ctxs"][:keep_old])
+        old = list(t.get("hard_negative_ctxs", [])[:keep_old])
         old_set = set(old)
         fresh = [r[2] for r in t["res"][:top] if r[2] not in old_set]
         out.append(
