@@ -281,8 +281,10 @@ def load_config(path: Optional[str | Path] = None, overrides: Optional[Dict[str,
             node = data
             parts = key.split(".")
             for p in parts[:-1]:
+                if not isinstance(node, dict) or p not in node:
+                    raise ValueError(f"unknown override key: {key}")
                 node = node[p]
-            if parts[-1] not in node:
+            if not isinstance(node, dict) or parts[-1] not in node:
                 raise ValueError(f"unknown override key: {key}")
             node[parts[-1]] = value
         cfg = ColbertConfig.from_dict(data)
