@@ -151,7 +151,13 @@ def ivf_probe_sq(
     from colbert_tpu.ops.sq import sq_query
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu", "gpu")
+        import os
+
+        forced = os.environ.get("COLBERT_TPU_SQ_PROBE", "")
+        if forced in ("pallas", "gather"):
+            use_pallas = forced == "pallas"
+        else:
+            use_pallas = jax.default_backend() not in ("cpu", "gpu")
     if use_pallas:
         # +31: DMA starts are aligned DOWN to the 32-row int8 sublane tile,
         # so a window may need up to 31 extra rows; then lane-align to 128.
