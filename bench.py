@@ -127,12 +127,14 @@ def exact_oracle_topk(searcher, q_ids, q_attn, q_active, topk):
 def bench_searcher(searcher, q_ids, q_attn, q_active, topk, nprobe, depth, n_warm, n_iter):
     kw = dict(topk=topk, nprobe=nprobe, depth=depth, query_chunk=8)
     for _ in range(n_warm):
-        searcher.search_tokens(q_ids, q_attn, q_active, **kw)
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
         res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
-    dt = (time.perf_counter() - t0) / n_iter
-    return dt, res
+    times = []
+    for _ in range(n_iter):
+        t0 = time.perf_counter()
+        res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
+        times.append(time.perf_counter() - t0)
+    # median: the tunnel-attached chip shows heavy run-to-run variance
+    return float(np.median(times)), res
 
 
 def main():
@@ -144,7 +146,7 @@ def main():
     depth = 512 if tpu else 32
     topk = 100 if tpu else 10
     batch = 32 if tpu else 4
-    n_warm, n_iter = 2, 5 if tpu else 2
+    n_warm, n_iter = 3, 15 if tpu else 2
 
     from colbert_tpu.config import (
         ColbertConfig, IndexConfig, MeshConfig, ModelConfig, MultiviewConfig,
