@@ -93,6 +93,43 @@ def colbert_params_from_torch(path_or_sd, cfg: ModelConfig) -> Dict[str, Any]:
     return out
 
 
+def colbert_params_to_torch_state_dict(params: Dict[str, Any], cfg: ModelConfig) -> Dict[str, np.ndarray]:
+    """Export our Flax ColBERT pytree to the reference's ``pytorch.bin`` key
+    layout (``model.*`` BERT keys + ``linear.weight``), so checkpoints
+    trained here can be loaded by torch-based tooling."""
+    bert = params["bert"]
+    out: Dict[str, np.ndarray] = {}
+
+    def put_dense(prefix: str, node: Dict[str, np.ndarray]):
+        out[prefix + ".weight"] = np.asarray(node["kernel"]).T
+        if "bias" in node:
+            out[prefix + ".bias"] = np.asarray(node["bias"])
+
+    def put_ln(prefix: str, node: Dict[str, np.ndarray]):
+        out[prefix + ".weight"] = np.asarray(node["scale"])
+        out[prefix + ".bias"] = np.asarray(node["bias"])
+
+    emb = bert["embeddings"]
+    out["model.embeddings.word_embeddings.weight"] = np.asarray(emb["word_embeddings"]["embedding"])
+    out["model.embeddings.position_embeddings.weight"] = np.asarray(emb["position_embeddings"]["embedding"])
+    out["model.embeddings.token_type_embeddings.weight"] = np.asarray(emb["token_type_embeddings"]["embedding"])
+    put_ln("model.embeddings.LayerNorm", emb["layernorm"])
+    for i in range(cfg.num_layers):
+        L = bert[f"layer_{i}"]
+        p = f"model.encoder.layer.{i}."
+        put_dense(p + "attention.self.query", L["attention"]["query"])
+        put_dense(p + "attention.self.key", L["attention"]["key"])
+        put_dense(p + "attention.self.value", L["attention"]["value"])
+        put_dense(p + "attention.output.dense", L["attention"]["out"])
+        put_ln(p + "attention.output.LayerNorm", L["attention_layernorm"])
+        put_dense(p + "intermediate.dense", L["intermediate"])
+        put_dense(p + "output.dense", L["output"])
+        put_ln(p + "output.LayerNorm", L["output_layernorm"])
+    if "linear" in params:
+        put_dense("linear", params["linear"])
+    return out
+
+
 def ce_params_from_torch(path_or_sd, cfg: ModelConfig) -> Dict[str, Any]:
     sd = load_torch_state_dict(path_or_sd) if isinstance(path_or_sd, str) else {k: _np(v) for k, v in path_or_sd.items()}
     out: Dict[str, Any] = {"bert": bert_params_from_torch(sd, cfg)}
