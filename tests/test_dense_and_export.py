@@ -34,14 +34,15 @@ def test_dense_retriever(tmp_path):
     r.build_index(texts, batch=8)
     scores, ids_out = r.search(["apple fruit", "ocean wave"], topk=5)
     assert scores.shape == (2, 5) and ids_out.shape == (2, 5)
-    # the pooled self-query should retrieve the doc itself at rank 1
-    s2, i2 = r.search([texts[3]], topk=3)
+    # exactness: searching with a doc's own pooled vector returns that doc
+    v = r._encode([texts[3]], is_query=False)
+    s2, i2 = r.index.search(v, topk=3)
     assert i2[0, 0] == 3
     # persistence roundtrip
     r.save_index(str(tmp_path / "flat"))
     r2 = DenseRetriever(cfg, tok, params, mesh=make_mesh(4, 2))
     r2.load_index(str(tmp_path / "flat"))
-    s3, i3 = r2.search([texts[3]], topk=3)
+    s3, i3 = r2.index.search(v, topk=3)
     np.testing.assert_array_equal(i2, i3)
 
 
