@@ -123,22 +123,42 @@ def retrieval_core(
     else:
         dedup = lambda pp, ss: dedup_pids_by_score(pp, ss, max_cand)
 
+    # candidate-slice chunking bounds the gather transient:
+    # qc x cand_chunk x rerank_cap x dim x 2B (matters for ragged corpora
+    # where rerank_cap can be doc_maxlen)
+    cand_chunk = max_cand
+    while query_chunk * cand_chunk * rerank_cap * dim * 2 > (1 << 30) and cand_chunk > 256:
+        cand_chunk //= 2
+    n_cslices = max_cand // cand_chunk if max_cand % cand_chunk == 0 else 1
+    if n_cslices == 1:
+        cand_chunk = max_cand
+
     def query_chunk_body(inp):
         p, s, q, qmask = inp  # (qc, qv*depth), ..., (qc, qv, dim), (qc, qv)
         cand, _ = jax.vmap(dedup)(p, s)
-        safe = jnp.maximum(cand, 0)
-        ln = doclens[safe]
-        valid = (jnp.arange(rerank_cap)[None, None, :] < ln[..., None]) & (cand >= 0)[..., None]
-        if uniform_doclen:
-            D = emb_by_doc[safe].reshape(safe.shape[0], max_cand, rerank_cap, dim)
+        qc = cand.shape[0]
+
+        def score_slice(c_slice):
+            safe = jnp.maximum(c_slice, 0)
+            ln = doclens[safe]
+            valid = (jnp.arange(rerank_cap)[None, None, :] < ln[..., None]) & (c_slice >= 0)[..., None]
+            if uniform_doclen:
+                D = emb_by_doc[safe].reshape(qc, cand_chunk, rerank_cap, dim)
+            else:
+                base = doc_offsets[safe]
+                idx = base[..., None] + jnp.arange(rerank_cap)[None, None, :]
+                idx = jnp.clip(idx, 0, emb_table.shape[0] - 1)
+                D = emb_table[idx.reshape(qc, -1)].reshape(qc, cand_chunk, rerank_cap, -1)
+            return maxsim_qd(q.astype(emb_table.dtype), D, qmask, valid.astype(emb_table.dtype))
+
+        if n_cslices == 1:
+            scores = score_slice(cand)
         else:
-            base = doc_offsets[safe]                   # (qc, max_cand)
-            idx = base[..., None] + jnp.arange(rerank_cap)[None, None, :]
-            idx = jnp.clip(idx, 0, emb_table.shape[0] - 1)
-            D = emb_table[idx.reshape(idx.shape[0], -1)].reshape(
-                idx.shape[0], max_cand, rerank_cap, -1
-            )
-        scores = maxsim_qd(q.astype(emb_table.dtype), D, qmask, valid.astype(emb_table.dtype))
+            sl = jax.lax.map(
+                lambda c: score_slice(c),
+                jnp.moveaxis(cand.reshape(qc, n_cslices, cand_chunk), 1, 0),
+            )  # (n_cslices, qc, cand_chunk)
+            scores = jnp.moveaxis(sl, 0, 1).reshape(qc, max_cand)
         scores = jnp.where(cand >= 0, scores, -jnp.inf)
         k = min(topk, max_cand)
         ts, ti = jax.lax.top_k(scores, k)
