@@ -182,6 +182,9 @@ class ServeConfig:
     # max + sum; better ordering, allows a smaller max_candidates, but costs
     # an extra segmented reduction)
     candidate_ranking: str = "best_row"
+    # TPU-optimized approximate top-k in the probe stage (~2x; recall-safe:
+    # candidates feed an exact MaxSim re-rank)
+    approx_probe_topk: bool = True
     host: str = "127.0.0.1"
     port: int = 9090
     authkey: str = "colbert-tpu"

@@ -46,6 +46,14 @@ def sort_by_list(assignments: np.ndarray, num_lists: int) -> Tuple[np.ndarray, n
     return perm, offsets
 
 
+def _probe_topk(scores, depth, approx: bool):
+    """Candidate top-k: approx_max_k is TPU-optimized (~2x) and recall-safe
+    here because candidates feed an EXACT MaxSim re-rank."""
+    if approx:
+        return jax.lax.approx_max_k(scores, depth)
+    return jax.lax.top_k(scores, depth)
+
+
 def _resolve_adc_method(method: str) -> str:
     if method != "auto":
         return method
@@ -53,7 +61,7 @@ def _resolve_adc_method(method: str) -> str:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "cap", "depth", "token_chunk", "adc_method")
+    jax.jit, static_argnames=("nprobe", "cap", "depth", "token_chunk", "adc_method", "approx_topk")
 )
 def ivf_probe_adc(
     q_tokens: jax.Array,          # (T, d) query token embeddings
@@ -67,6 +75,7 @@ def ivf_probe_adc(
     depth: int,
     token_chunk: int = 32,
     adc_method: str = "auto",
+    approx_topk: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """For each query token: probe top-``nprobe`` lists, ADC-score up to
     ``cap`` rows per list, return top-``depth`` (scores, sorted-row ids).
@@ -110,7 +119,7 @@ def ivf_probe_adc(
             )[..., 0]                                                # (tc, nprobe*cap, m)
             scores = gathered.sum(axis=-1)
         scores = jnp.where(valid.reshape(valid.shape[0], -1), scores, -jnp.inf)
-        s, i = jax.lax.top_k(scores, depth)                          # (tc, depth)
+        s, i = _probe_topk(scores, depth, approx_topk)                # (tc, depth)
         rows = jnp.take_along_axis(idx.reshape(idx.shape[0], -1), i, axis=1)
         rows = jnp.where(jnp.isfinite(s), rows, -1)
         return s, rows.astype(jnp.int32)
@@ -123,7 +132,7 @@ def ivf_probe_adc(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "cap", "depth", "token_chunk", "use_pallas")
+    jax.jit, static_argnames=("nprobe", "cap", "depth", "token_chunk", "use_pallas", "approx_topk")
 )
 def ivf_probe_sq(
     q_tokens: jax.Array,          # (T, d) query token embeddings
@@ -138,6 +147,7 @@ def ivf_probe_sq(
     depth: int,
     token_chunk: int = 32,
     use_pallas: bool | None = None,
+    approx_topk: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """SQ-codec IVF scan: same contract as :func:`ivf_probe_adc`, but
     candidate scoring is an int8 MXU matmul (see :mod:`colbert_tpu.ops.sq`)
@@ -197,7 +207,7 @@ def ivf_probe_sq(
                 preferred_element_type=jnp.float32,
             )
             scores = jnp.where(valid.reshape(valid.shape[0], -1), scores, -jnp.inf)
-        s, i = jax.lax.top_k(scores, depth)
+        s, i = _probe_topk(scores, depth, approx_topk)
         idx = base[..., None] + jnp.arange(cap)[None, None, :]
         rr = jnp.take_along_axis(idx.reshape(idx.shape[0], -1), i, axis=1)
         rr = jnp.where(jnp.isfinite(s), jnp.minimum(rr, codes8_sorted.shape[0] - 1), -1)

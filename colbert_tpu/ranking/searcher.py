@@ -54,7 +54,7 @@ class SearchResult:
     scores: np.ndarray  # (B, topk) fp32
 
 
-def make_probe_fn(codec, coarse, quant, codes, offsets, *, nprobe: int, cap: int, depth: int):
+def make_probe_fn(codec, coarse, quant, codes, offsets, *, nprobe: int, cap: int, depth: int, approx_topk: bool = False):
     """Codec-dispatched candidate generator closure for :func:`retrieval_core`.
 
     ``quant``: PQ codebooks (codec="pq") or an (sq_proj, sq_scales) tuple
@@ -63,11 +63,13 @@ def make_probe_fn(codec, coarse, quant, codes, offsets, *, nprobe: int, cap: int
         return lambda tokens: ivf_probe_adc(
             tokens, coarse, quant, codes, offsets,
             nprobe=nprobe, cap=cap, depth=depth, token_chunk=min(32, tokens.shape[0]),
+            approx_topk=approx_topk,
         )
     proj, scales = quant
     return lambda tokens: ivf_probe_sq(
         tokens, coarse, proj, scales, codes, offsets,
         nprobe=nprobe, cap=cap, depth=depth, token_chunk=min(32, tokens.shape[0]),
+        approx_topk=approx_topk,
     )
 
 
@@ -246,7 +248,8 @@ class ColbertSearcher:
             qm = q_active.astype(Q.dtype)
             Qm = Q * qm[..., None]
             probe_fn = make_probe_fn(
-                codec, coarse, quant, codes, offsets, nprobe=nprobe, cap=cap, depth=depth
+                codec, coarse, quant, codes, offsets, nprobe=nprobe, cap=cap, depth=depth,
+                approx_topk=self.cfg.serve.approx_probe_topk,
             )
             return retrieval_core(
                 Qm, qm, probe_fn, row_emb, emb2pid,

@@ -169,6 +169,7 @@ class ShardedColbertSearcher:
             probe_fn = make_probe_fn(
                 codec, coarse, quant, sq(codes), sq(offsets),
                 nprobe=nprobe, cap=cap, depth=depth,
+                approx_topk=self.cfg.serve.approx_probe_topk,
             )
             ts, tp = retrieval_core(
                 Qm, qm, probe_fn, sq(row_emb),
