@@ -182,7 +182,26 @@ class ColbertTrainer:
         if resume:
             latest = self.ckpt.latest_step()
             if latest is not None:
-                self.state = self.ckpt.restore(latest, self.state)
+                target = {"params": self.state.params, "opt_state": self.state.opt_state, "step": 0}
+                restored = self.ckpt.restore(latest, target)
+                # restore can land leaves on a single device; re-put onto the
+                # live state's shardings so the jitted step sees one layout.
+                # Only NamedSharding leaves: committing scalars (e.g. optax
+                # counters) to a single device makes jit layouts conflict.
+                from jax.sharding import NamedSharding
+
+                # non-NamedSharding leaves go through host to drop the
+                # committed-device flag orbax attaches
+                put = (
+                    lambda r, t: jax.device_put(r, t.sharding)
+                    if isinstance(getattr(t, "sharding", None), NamedSharding)
+                    else jnp.asarray(np.asarray(r))
+                )
+                self.state = self.state.replace(
+                    params=jax.tree.map(put, restored["params"], self.state.params),
+                    opt_state=jax.tree.map(put, restored["opt_state"], self.state.opt_state),
+                    step=latest,
+                )
                 start_step = latest
                 logger.info("resumed from step %d", latest)
 

@@ -150,3 +150,34 @@ def test_grad_accum_smoke(tiny_cfg, tokenizer, mesh8):
     log = trainer.train(ds, num_epochs=1)
     losses = [s["loss"] for s in log.steps]
     assert losses and np.isfinite(losses).all()
+
+
+def test_resume_reproduces_uninterrupted_run(tiny_cfg, tokenizer, mesh8, tmp_path):
+    """Checkpoint resume must be bit-reproducible: (train 4 steps) ==
+    (train 2, save, restore, train 2) — seeded sampler fast-forward + step-
+    keyed dropout keys make the streams identical by construction."""
+    import dataclasses
+    import shutil
+
+    from colbert_tpu.training import ColbertTrainer
+
+    ds = RetrievalDataset(make_examples(16))  # batch 4 -> 4 steps/epoch
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        train=dataclasses.replace(
+            tiny_cfg.train, per_device_batch_size=1, evals_per_epoch=2,
+            checkpoint_dir=str(tmp_path / "ckpt_resume"), num_epochs=1,
+        ),
+    )
+    a = ColbertTrainer(cfg, tokenizer, mesh=mesh8)
+    a.train(ds, num_epochs=1)  # saves at steps 2 and 4
+    params_a = jax.tree.map(np.asarray, a.state.params)
+    assert a.ckpt.all_steps() == [2, 4]
+
+    # drop the final checkpoint so resume starts from step 2
+    shutil.rmtree(str(tmp_path / "ckpt_resume" / "checkpoint-4"))
+    b = ColbertTrainer(cfg, tokenizer, mesh=mesh8)
+    b.train(ds, num_epochs=1, resume=True)
+    params_b = jax.tree.map(np.asarray, b.state.params)
+    for x, y in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
+        np.testing.assert_allclose(x, y, atol=1e-6)
