@@ -55,3 +55,47 @@ def test_sharded_consistent_with_single(setup, mesh8):
     b = sharded.search(queries, topk=3, nprobe=8, depth=64)
     assert a.pids[0, 0] == b.pids[0, 0]
     assert a.pids[1, 0] == b.pids[1, 0]
+
+
+def test_sharded_sq_codec(tmp_path, mesh8):
+    """Sharded searcher with the SQ codec (quantizer is a pytree tuple)."""
+    import jax
+    import jax.numpy as jnp
+
+    from colbert_tpu.config import (
+        ColbertConfig, IndexConfig, MeshConfig, ModelConfig, MultiviewConfig,
+        ServeConfig, TokenizerConfig,
+    )
+    from colbert_tpu.indexing import CollectionEncoder, IndexBuilder
+    from colbert_tpu.models import ColbertModel
+    from colbert_tpu.ranking import ColbertSearcher
+    from colbert_tpu.ranking.sharded import ShardedColbertSearcher
+    from colbert_tpu.tokenization import ColbertTokenizer, build_vocab, write_vocab
+    from tests.test_end_to_end import TOPICS, corpus_texts
+
+    texts = corpus_texts(32)
+    vp = write_vocab(build_vocab(texts + TOPICS, max_size=4000), tmp_path / "vocab.txt")
+    cfg = ColbertConfig(
+        model=ModelConfig(vocab_size=4096, hidden_size=32, num_layers=1, num_heads=2,
+                          intermediate_size=64, max_position_embeddings=64, dim=16, dtype="float32"),
+        multiview=MultiviewConfig(enabled=True, q_view=4, d_view=4),
+        tokenizer=TokenizerConfig(vocab_path=str(vp), query_maxlen=16, doc_maxlen=32),
+        index=IndexConfig(codec="sq", sq_dim=8, partitions=8, kmeans_iters=5, num_parts=2),
+        serve=ServeConfig(nprobe=8, candidate_depth=32, topk=5, max_candidates=32),
+        mesh=MeshConfig(data=4, model=2),
+    )
+    tok = ColbertTokenizer(cfg.tokenizer, cfg.multiview)
+    model = ColbertModel(cfg.model, cfg.multiview)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(7), ids, jnp.ones_like(ids),
+                        jnp.zeros((1, 32), jnp.int32), jnp.ones((1, 32), jnp.int32))["params"]
+    storage = CollectionEncoder(cfg, tok, params, mesh=mesh8).encode_corpus(
+        texts, str(tmp_path / "idx"), batch_size=8
+    )
+    IndexBuilder(cfg, storage).build(chunk=256)
+    single = ColbertSearcher(cfg, tok, params, storage, mesh=mesh8)
+    sharded = ShardedColbertSearcher(cfg, tok, params, storage, mesh=mesh8, rerank_dtype=jnp.float32)
+    oracle = single.search_brute_force(["apple fruit", "piano music"], topk=5)
+    got = sharded.search(["apple fruit", "piano music"], topk=5, nprobe=8, depth=32)
+    recall = np.mean([len(set(got.pids[i]) & set(oracle.pids[i])) / 5 for i in range(2)])
+    assert recall >= 0.8, (recall, got.pids, oracle.pids)
