@@ -18,8 +18,6 @@ from __future__ import annotations
 import argparse
 import ast
 import json
-import sys
-from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 from colbert_tpu.config import ColbertConfig, load_config

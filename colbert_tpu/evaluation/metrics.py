@@ -8,7 +8,7 @@ recall@k as whether any positive appears in the top-k.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, Sequence
 
 import numpy as np
 

@@ -22,7 +22,6 @@ import numpy as np
 
 from colbert_tpu.config import ColbertConfig
 from colbert_tpu.indexing.storage import IndexStorage
-from colbert_tpu.ops.ivf import sort_by_list
 from colbert_tpu.ops.kmeans import assign_clusters, kmeans
 from colbert_tpu.ops.pq import pq_encode, pq_train
 from colbert_tpu.utils.logging import Timers, get_logger

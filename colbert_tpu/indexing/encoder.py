@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import queue as queue_mod
 import threading
-from typing import Any, Iterable, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ the model is a pure function of dense int32 arrays — mandatory for jit.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

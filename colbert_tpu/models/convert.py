@@ -10,7 +10,7 @@ torch is only needed for reading the file; all arrays leave as numpy.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -23,7 +23,7 @@ gathered codes via per-token LUT gathers, then one top-``depth`` per token.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,8 +29,6 @@ integration (and the XLA gather fallback used on CPU).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

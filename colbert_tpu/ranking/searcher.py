@@ -22,9 +22,8 @@ Key redesigns vs the reference:
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ per-shard stacked arrays (padded to equal sizes so the stack shards evenly).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax

@@ -13,8 +13,7 @@ Parity with the reference CE flow (``colbert/modeling/ce_model.py:56-101``,
 
 from __future__ import annotations
 
-import time
-from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ warmup→decay schedule (HF default used by the reference's
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import optax

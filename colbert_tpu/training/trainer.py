@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ from colbert_tpu.config import ColbertConfig
 from colbert_tpu.models import ColbertModel
 from colbert_tpu.models.sharding import param_shardings
 from colbert_tpu.ops.maxsim import maxsim_xla
-from colbert_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from colbert_tpu.parallel.mesh import batch_sharding, make_mesh
 from colbert_tpu.tokenization import ColbertTokenizer
 from colbert_tpu.training.checkpoint import CheckpointManager
 from colbert_tpu.training.dataset import RetrievalDataset, RetrievalSampler, TrainBatch
