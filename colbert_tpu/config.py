@@ -177,11 +177,12 @@ class ServeConfig:
     query_batch_size: int = 144
     # fixed candidate budget after pid dedup (static shape for XLA)
     max_candidates: int = 4096
-    # candidate ranking for the dedup stage: "best_row" (cheap: best single
-    # codec score per doc) or "approx_maxsim" (WARP/PLAID-style per-token
-    # max + sum; better ordering, allows a smaller max_candidates, but costs
-    # an extra segmented reduction)
-    candidate_ranking: str = "best_row"
+    # candidate ranking for the dedup stage: "approx_maxsim" (WARP/PLAID-
+    # style per-token max + sum) or "best_row" (best single codec score per
+    # doc).  Measured on v5e at 20k docs: approx_maxsim costs nothing end-to-
+    # end and degrades far more gracefully as max_candidates shrinks
+    # (recall@100 at max_candidates=1024: 0.948 vs best_row's 0.854).
+    candidate_ranking: str = "approx_maxsim"
     # TPU-optimized approximate top-k in the probe stage (~2x; recall-safe:
     # candidates feed an exact MaxSim re-rank)
     approx_probe_topk: bool = True
