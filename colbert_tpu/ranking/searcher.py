@@ -137,6 +137,9 @@ def retrieval_core(
     def query_chunk_body(inp):
         p, s, q, qmask = inp  # (qc, qv*depth), ..., (qc, qv, dim), (qc, qv)
         cand, _ = jax.vmap(dedup)(p, s)
+        # (measured: pid-sorting candidates before the gather does NOT help —
+        # 137.5 vs 130.4 ms/batch; XLA's doc-row gather is insensitive to
+        # index order at this scale)
         qc = cand.shape[0]
 
         def score_slice(c_slice):
