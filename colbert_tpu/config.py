@@ -186,6 +186,10 @@ class ServeConfig:
     # TPU-optimized approximate top-k in the probe stage (~2x; recall-safe:
     # candidates feed an exact MaxSim re-rank)
     approx_probe_topk: bool = True
+    # exact re-rank backend: "xla" (gather + einsum) or "pallas" (fused
+    # DMA-streamed gather+MaxSim kernel; uniform-doclen corpora on TPU only,
+    # silently falls back to xla otherwise)
+    rerank_kernel: str = "xla"
     host: str = "127.0.0.1"
     port: int = 9090
     authkey: str = "colbert-tpu"

@@ -89,6 +89,7 @@ def retrieval_core(
     query_chunk: int,
     uniform_doclen: bool = False,
     candidate_ranking: str = "best_row",
+    rerank_kernel: str = "xla",
 ) -> Tuple[jax.Array, jax.Array]:
     """Everything after query encode: probe -> candidate scores -> dedup ->
     gather -> exact MaxSim -> local top-k.  Pure function of device arrays
@@ -134,6 +135,10 @@ def retrieval_core(
     if n_cslices == 1:
         cand_chunk = max_cand
 
+    use_fused_rerank = (
+        rerank_kernel == "pallas" and uniform_doclen and max_cand % 128 == 0
+    )
+
     def query_chunk_body(inp):
         p, s, q, qmask = inp  # (qc, qv*depth), ..., (qc, qv, dim), (qc, qv)
         cand, _ = jax.vmap(dedup)(p, s)
@@ -141,6 +146,20 @@ def retrieval_core(
         # 137.5 vs 130.4 ms/batch; XLA's doc-row gather is insensitive to
         # index order at this scale)
         qc = cand.shape[0]
+
+        if use_fused_rerank:
+            from colbert_tpu.ops.rerank_pallas import maxsim_rerank_uniform
+
+            # q is already mask-multiplied (Qm); docs are uniform -> no
+            # doclen mask needed: identical semantics to the XLA branch
+            scores = maxsim_rerank_uniform(
+                cand, q, emb_table[: num_docs * rerank_cap], dv=rerank_cap, tc=128
+            )
+            k = min(topk, max_cand)
+            ts, ti = jax.lax.top_k(scores, k)
+            tp = jnp.take_along_axis(cand, ti, axis=1)
+            tp = jnp.where(jnp.isfinite(ts), tp, -1)
+            return ts, tp
 
         def score_slice(c_slice):
             safe = jnp.maximum(c_slice, 0)
@@ -259,6 +278,7 @@ class ColbertSearcher:
                 depth=depth, max_cand=max_cand,
                 rerank_cap=rerank_cap, topk=topk, query_chunk=query_chunk,
                 uniform_doclen=uniform, candidate_ranking=ranking,
+                rerank_kernel=self.cfg.serve.rerank_kernel,
             )
 
         return jax.jit(fn)

@@ -152,3 +152,44 @@ def test_non_multiview_end_to_end(tmp_path):
     oracle = searcher.search_brute_force(["apple fruit"], topk=3)
     got = searcher.search(["apple fruit"], topk=3, nprobe=4, depth=32)
     assert len(set(got.pids[0]) & set(oracle.pids[0])) >= 2
+
+
+def test_pallas_rerank_matches_xla(tmp_path):
+    """Fused Pallas rerank (interpret mode on CPU) must agree with XLA.
+    Needs >=128 docs so max_candidates can be a 128-multiple (kernel tile)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from colbert_tpu.parallel import make_mesh
+    from colbert_tpu.ranking import ColbertSearcher
+
+    texts = corpus_texts(160)
+    vp = write_vocab(build_vocab(texts + TOPICS, max_size=4000), tmp_path / "vocab.txt")
+    cfg = ColbertConfig(
+        model=ModelConfig(vocab_size=4096, hidden_size=32, num_layers=1, num_heads=2,
+                          intermediate_size=64, max_position_embeddings=64, dim=16, dtype="float32"),
+        multiview=MultiviewConfig(enabled=True, q_view=4, d_view=4),
+        tokenizer=TokenizerConfig(vocab_path=str(vp), query_maxlen=16, doc_maxlen=32),
+        index=IndexConfig(codec="sq", sq_dim=8, partitions=8, kmeans_iters=5, num_parts=2),
+        serve=ServeConfig(nprobe=8, candidate_depth=64, topk=10, max_candidates=128),
+        mesh=MeshConfig(data=4, model=2),
+    )
+    tok = ColbertTokenizer(cfg.tokenizer, cfg.multiview)
+    model = ColbertModel(cfg.model, cfg.multiview)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(7), ids, jnp.ones_like(ids),
+                        jnp.zeros((1, 32), jnp.int32), jnp.ones((1, 32), jnp.int32))["params"]
+    mesh = make_mesh(4, 2)
+    storage = CollectionEncoder(cfg, tok, params, mesh=mesh).encode_corpus(
+        texts, str(tmp_path / "idx"), batch_size=16)
+    IndexBuilder(cfg, storage).build(chunk=256)
+    cfg2 = dataclasses.replace(cfg, serve=dataclasses.replace(cfg.serve, rerank_kernel="pallas"))
+    queries = ["apple fruit", "ocean wave", "piano music"]
+    a = ColbertSearcher(cfg, tok, params, storage, mesh=mesh).search(queries, topk=5)
+    s2 = ColbertSearcher(cfg2, tok, params, storage, mesh=mesh)
+    # confirm the fused path is actually active for this config
+    assert cfg2.serve.max_candidates % 128 == 0 and s2.uniform_doclen
+    b = s2.search(queries, topk=5)
+    np.testing.assert_array_equal(a.pids, b.pids)
+    np.testing.assert_allclose(a.scores, b.scores, rtol=2e-2, atol=2e-2)
