@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(cand_ref, qt_ref, emb_ref, out_ref, buf_ref, sem_ref, *, tc, dv, dim):
+def _kernel(cand_ref, valid_ref, qt_ref, emb_ref, out_ref, buf_ref, sem_ref, *, tc, dv, dim):
     def dma(c):
         pid = jnp.maximum(cand_ref[0, 0, 0, c], 0)
         return pltpu.make_async_copy(
@@ -54,7 +54,8 @@ def _kernel(cand_ref, qt_ref, emb_ref, out_ref, buf_ref, sem_ref, *, tc, dv, dim
     qv = qt.shape[1]
     sim = sim.reshape(tc, dv, qv)                          # major-dim split: free
     scores = jnp.max(sim, axis=1).sum(axis=1)              # (tc,)
-    valid = cand_ref[0, 0, 0, :] >= 0
+    # SMEM supports scalar loads only; the vector mask arrives via VMEM
+    valid = valid_ref[0, 0, :, 0] > 0
     out_ref[0, 0, :, 0] = jnp.where(valid, scores, -jnp.inf)
 
 
@@ -78,6 +79,7 @@ def maxsim_rerank_uniform(
     n_tiles = C // tc
     qt = jnp.transpose(Qm, (0, 2, 1)).astype(jnp.bfloat16)  # (B, dim, qv)
     cand4 = cand.reshape(B, n_tiles, 1, tc)
+    valid4 = (cand >= 0).astype(jnp.int32).reshape(B, n_tiles, tc, 1)
 
     out = pl.pallas_call(
         functools.partial(_kernel, tc=tc, dv=dv, dim=dim),
@@ -85,6 +87,7 @@ def maxsim_rerank_uniform(
         grid=(B, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1, 1, tc), lambda b, t: (b, t, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, tc, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dim, qv), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # embeddings stay in HBM
         ],
@@ -102,5 +105,5 @@ def maxsim_rerank_uniform(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(cand4, qt, emb_table.astype(jnp.bfloat16))
+    )(cand4, valid4, qt, emb_table.astype(jnp.bfloat16))
     return out.reshape(B, C)
