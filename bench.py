@@ -145,7 +145,8 @@ def main():
     nprobe = 128 if tpu else 8
     depth = 512 if tpu else 32
     topk = 100 if tpu else 10
-    batch = 32 if tpu else 4
+    # 144 = the reference's serving batch (dense_server_client.py:39)
+    batch = 144 if tpu else 4
     n_warm, n_iter = 3, 15 if tpu else 2
 
     from colbert_tpu.config import (

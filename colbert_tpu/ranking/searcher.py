@@ -135,9 +135,10 @@ def retrieval_core(
     if n_cslices == 1:
         cand_chunk = max_cand
 
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
     use_fused_rerank = (
-        rerank_kernel == "pallas" and uniform_doclen and max_cand % 128 == 0
-    )
+        (rerank_kernel == "pallas" and on_tpu) or rerank_kernel == "pallas_interpret"
+    ) and uniform_doclen and max_cand % 128 == 0
 
     def query_chunk_body(inp):
         p, s, q, qmask = inp  # (qc, qv*depth), ..., (qc, qv, dim), (qc, qv)

@@ -184,7 +184,7 @@ def test_pallas_rerank_matches_xla(tmp_path):
     storage = CollectionEncoder(cfg, tok, params, mesh=mesh).encode_corpus(
         texts, str(tmp_path / "idx"), batch_size=16)
     IndexBuilder(cfg, storage).build(chunk=256)
-    cfg2 = dataclasses.replace(cfg, serve=dataclasses.replace(cfg.serve, rerank_kernel="pallas"))
+    cfg2 = dataclasses.replace(cfg, serve=dataclasses.replace(cfg.serve, rerank_kernel="pallas_interpret"))
     queries = ["apple fruit", "ocean wave", "piano music"]
     a = ColbertSearcher(cfg, tok, params, storage, mesh=mesh).search(queries, topk=5)
     s2 = ColbertSearcher(cfg2, tok, params, storage, mesh=mesh)
