@@ -272,6 +272,25 @@ class ColbertTrainer:
         self.log.evals.append(metrics)
         return metrics
 
+    def evaluate_checkpoints(self, dev_ds: RetrievalDataset) -> Dict[int, Dict[str, float]]:
+        """Evaluate EVERY saved checkpoint (parity with the reference's
+        checkpoint-dir evaluation loop, ``colbert_trainer.py:52-71``)."""
+        steps = self.ckpt.all_steps()
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {self.ckpt.dir}")
+        self._init_state(total_steps=max(steps))
+        out: Dict[int, Dict[str, float]] = {}
+        original = self.state
+        for step in steps:
+            restored = self.ckpt.restore(
+                step, {"params": self.state.params, "opt_state": self.state.opt_state, "step": 0}
+            )
+            self.state = self.state.replace(params=restored["params"])
+            out[step] = self.evaluate(dev_ds)
+            logger.info("checkpoint-%d: %s", step, out[step])
+        self.state = original
+        return out
+
     def save(self, step: int, metrics: Optional[Dict[str, float]] = None) -> str:
         return self.ckpt.save(
             step,

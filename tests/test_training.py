@@ -181,3 +181,15 @@ def test_resume_reproduces_uninterrupted_run(tiny_cfg, tokenizer, mesh8, tmp_pat
     params_b = jax.tree.map(np.asarray, b.state.params)
     for x, y in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
         np.testing.assert_allclose(x, y, atol=1e-6)
+
+
+def test_evaluate_checkpoints(tiny_cfg, tokenizer, mesh8):
+    from colbert_tpu.training import ColbertTrainer
+
+    # reuse the checkpoints produced by the main training test (module fixture order)
+    trainer = ColbertTrainer(tiny_cfg, tokenizer, mesh=mesh8)
+    dev = RetrievalDataset(make_examples(4))
+    results = trainer.evaluate_checkpoints(dev)
+    assert len(results) >= 1
+    for step, metrics in results.items():
+        assert "eval_mrr" in metrics and np.isfinite(metrics["eval_mrr"])
