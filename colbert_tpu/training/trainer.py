@@ -16,6 +16,7 @@ DDP + NCCL all_gather splice, ``awutils/awtrainer.py``,
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
@@ -219,8 +220,15 @@ class ColbertTrainer:
                     gstep += 1
                     continue
                 rng = jax.random.fold_in(self.rng, gstep)
+                trace_dir = os.environ.get("COLBERT_TPU_TRACE_DIR")
+                if trace_dir and gstep == start_step + 5:
+                    jax.profiler.start_trace(trace_dir)  # capture a steady-state step
                 with self.timers.span("train_step"):
                     self.state, loss = train_step(self.state, rng, *self._shard_batch(batch))
+                if trace_dir and gstep == start_step + 6:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    logger.info("wrote profiler trace to %s", trace_dir)
                 gstep += 1
                 loss_f = float(loss)
                 if not np.isfinite(loss_f):
