@@ -21,4 +21,39 @@ Design principles (TPU-first, not a port):
 
 from colbert_tpu.version import __version__
 
-__all__ = ["__version__"]
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import colbert_tpu` free of jax startup)."""
+    api = {
+        "ColbertConfig": ("colbert_tpu.config", "ColbertConfig"),
+        "load_config": ("colbert_tpu.config", "load_config"),
+        "ColbertTokenizer": ("colbert_tpu.tokenization", "ColbertTokenizer"),
+        "ColbertModel": ("colbert_tpu.models", "ColbertModel"),
+        "CrossEncoderModel": ("colbert_tpu.models", "CrossEncoderModel"),
+        "ColbertTrainer": ("colbert_tpu.training", "ColbertTrainer"),
+        "CETrainer": ("colbert_tpu.training", "CETrainer"),
+        "RetrievalDataset": ("colbert_tpu.training", "RetrievalDataset"),
+        "CollectionEncoder": ("colbert_tpu.indexing", "CollectionEncoder"),
+        "IndexBuilder": ("colbert_tpu.indexing", "IndexBuilder"),
+        "IndexStorage": ("colbert_tpu.indexing", "IndexStorage"),
+        "FlatIndex": ("colbert_tpu.indexing", "FlatIndex"),
+        "ColbertSearcher": ("colbert_tpu.ranking", "ColbertSearcher"),
+        "RetrievalService": ("colbert_tpu.serving", "RetrievalService"),
+        "RetrievalServer": ("colbert_tpu.serving", "RetrievalServer"),
+        "RetrievalClient": ("colbert_tpu.serving", "RetrievalClient"),
+    }
+    if name in api:
+        import importlib
+
+        mod, attr = api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'colbert_tpu' has no attribute {name!r}")
+
+
+__all__ = [
+    "__version__", "ColbertConfig", "load_config", "ColbertTokenizer",
+    "ColbertModel", "CrossEncoderModel", "ColbertTrainer", "CETrainer",
+    "RetrievalDataset", "CollectionEncoder", "IndexBuilder", "IndexStorage",
+    "FlatIndex", "ColbertSearcher", "RetrievalService", "RetrievalServer",
+    "RetrievalClient",
+]
