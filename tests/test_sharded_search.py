@@ -99,3 +99,50 @@ def test_sharded_sq_codec(tmp_path, mesh8):
     got = sharded.search(["apple fruit", "piano music"], topk=5, nprobe=8, depth=32)
     recall = np.mean([len(set(got.pids[i]) & set(oracle.pids[i])) / 5 for i in range(2)])
     assert recall >= 0.8, (recall, got.pids, oracle.pids)
+
+
+def test_sharded_ragged_corpus(tmp_path, mesh8):
+    """Non-multiview (ragged doclens) corpus through the sharded searcher."""
+    import jax
+    import jax.numpy as jnp
+
+    from colbert_tpu.config import (
+        ColbertConfig, IndexConfig, MeshConfig, ModelConfig, MultiviewConfig,
+        ServeConfig, TokenizerConfig,
+    )
+    from colbert_tpu.indexing import CollectionEncoder, IndexBuilder
+    from colbert_tpu.models import ColbertModel
+    from colbert_tpu.ranking import ColbertSearcher
+    from colbert_tpu.ranking.sharded import ShardedColbertSearcher
+    from colbert_tpu.tokenization import ColbertTokenizer, build_vocab, write_vocab
+    from tests.test_end_to_end import TOPICS, corpus_texts
+
+    texts = corpus_texts(28)
+    vp = write_vocab(build_vocab(texts + TOPICS, max_size=4000), tmp_path / "vocab.txt")
+    cfg = ColbertConfig(
+        model=ModelConfig(vocab_size=4096, hidden_size=32, num_layers=1, num_heads=2,
+                          intermediate_size=64, max_position_embeddings=64, dim=16, dtype="float32"),
+        multiview=MultiviewConfig(enabled=False),
+        tokenizer=TokenizerConfig(vocab_path=str(vp), query_maxlen=12, doc_maxlen=24),
+        index=IndexConfig(pq_m=4, partitions=4, kmeans_iters=5, num_parts=2),
+        serve=ServeConfig(nprobe=4, candidate_depth=32, topk=5, max_candidates=28),
+        mesh=MeshConfig(data=4, model=2),
+    )
+    tok = ColbertTokenizer(cfg.tokenizer, cfg.multiview)
+    model = ColbertModel(cfg.model, cfg.multiview)
+    ids = jnp.zeros((1, 12), jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), ids, jnp.ones_like(ids),
+                        jnp.zeros((1, 24), jnp.int32), jnp.ones((1, 24), jnp.int32))["params"]
+    storage = CollectionEncoder(cfg, tok, params, mesh=mesh8).encode_corpus(
+        texts, str(tmp_path / "idx"), batch_size=8)
+    assert len(set(storage.read_doclens())) >= 1
+    IndexBuilder(cfg, storage).build(chunk=256)
+    single = ColbertSearcher(cfg, tok, params, storage, mesh=mesh8)
+    sharded = ShardedColbertSearcher(cfg, tok, params, storage, mesh=mesh8, rerank_dtype=jnp.float32)
+    assert not sharded.uniform_doclen or len(set(storage.read_doclens())) == 1
+    oracle = single.search_brute_force(["apple fruit"], topk=3)
+    got = sharded.search(["apple fruit"], topk=3, nprobe=4, depth=32)
+    # an untrained tiny model scores many docs identically, so compare
+    # SCORES (tie-safe), not pid sets
+    assert ((got.pids >= 0) & (got.pids < len(texts))).all()
+    np.testing.assert_allclose(got.scores[0, 0], oracle.scores[0, 0], rtol=5e-2)

@@ -84,3 +84,18 @@ def test_ascii_word_active(flat_tok):
     toks = flat_tok.tok.convert_ids_to_tokens([i for i in b.input_ids[0] if i != 0])
     assert b.active_mask[0, toks.index(",")] == 0
     assert b.active_mask[0, toks.index(".")] == 0
+
+
+def test_tokenizer_from_directory(vocab_path, tmp_path):
+    """vocab_path may be a directory (HF pretrained layout)."""
+    import shutil
+
+    d = tmp_path / "tokdir"
+    d.mkdir()
+    shutil.copy(vocab_path, d / "vocab.txt")
+    tok = ColbertTokenizer(
+        TokenizerConfig(vocab_path=str(d), query_maxlen=16, doc_maxlen=24),
+        MultiviewConfig(enabled=False),
+    )
+    b = tok.encode_queries(["中国的首都"])
+    assert b.input_ids.shape == (1, 16)
