@@ -172,6 +172,9 @@ def ivf_probe_sq(
         # +31: DMA starts are aligned DOWN to the 32-row int8 sublane tile,
         # so a window may need up to 31 extra rows; then lane-align to 128.
         cap = ((cap + 31 + 127) // 128) * 128
+        # (measured: raising token_chunk to amortize kernel launches HURTS —
+        # 320 vs 258 ms/batch144 — the larger score transients lose more
+        # than the launch overhead saves; keep the 32-token chunks)
 
     T, d = q_tokens.shape
     qs_all = sq_query(q_tokens, proj, scales)  # (T, sq_dim)
