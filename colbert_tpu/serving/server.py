@@ -80,9 +80,15 @@ class RetrievalServer:
     def serve_forever(self) -> None:
         self._listener = Listener(self.address, authkey=self.authkey)
         logger.info("retrieval server listening on %s", self.address)
+        from multiprocessing import AuthenticationError
+
         while not self._stop.is_set():
             try:
                 conn = self._listener.accept()
+            except AuthenticationError:
+                # a client with a bad authkey must not take the server down
+                logger.warning("rejected connection: bad authkey")
+                continue
             except (OSError, EOFError):
                 break
             try:

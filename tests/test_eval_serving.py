@@ -87,7 +87,6 @@ def test_server_client_roundtrip(setup_service):
     # still alive
     res2 = client.retrieve(["piano music"], topk=2, depth=32, nprobe=8)
     assert len(res2) == 1
-    client.shutdown()
 
 
 @pytest.fixture(scope="module")
@@ -182,3 +181,26 @@ def test_config_yaml_loads():
     cfg2 = load_config("configs/dureader.yaml", {"train.learning_rate": 1e-4, "index.codec": "sq"})
     assert cfg2.train.learning_rate == 1e-4
     assert cfg2.index.codec == "sq"
+
+
+def test_bad_authkey_does_not_kill_server(setup_service):
+    """A client with a wrong authkey must be rejected without taking the
+    server down (found by live-probing the socket surface)."""
+    import multiprocessing
+    from multiprocessing.connection import Client as MPClient
+
+    service, server, port = setup_service
+    with pytest.raises(multiprocessing.AuthenticationError):
+        with MPClient(("127.0.0.1", port), authkey=b"wrong-key") as conn:
+            conn.send("x")
+            conn.recv()
+    import time
+
+    time.sleep(0.2)
+    from colbert_tpu.serving import RetrievalClient
+
+    client = RetrievalClient(port=port, authkey=b"test")
+    res = client.retrieve(["apple fruit"], topk=2, depth=32, nprobe=8)
+    assert len(res) == 1 and len(res[0]) >= 1
+    # graceful shutdown (this is the last test touching the shared server)
+    client.shutdown()
