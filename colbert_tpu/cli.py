@@ -153,6 +153,11 @@ def cmd_evaluate(args) -> None:
     cfg = _load_cfg(args)
     from colbert_tpu.serving import evaluate_retrieval
 
+    if not args.remote and not args.corpus:
+        raise SystemExit(
+            "evaluate: --corpus is required when running locally "
+            "(pass --remote to evaluate against a running server instead)"
+        )
     eval_data = load_json(args.eval_data)
     if args.remote:
         from colbert_tpu.serving import RetrievalClient

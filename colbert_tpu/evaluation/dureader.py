@@ -90,15 +90,17 @@ def make_submission(
     topk: int = 50,
 ) -> Dict[str, List[str]]:
     """DuReader leaderboard submission: question -> top-k passage ids via the
-    ``passage2id.map.json`` text->id map (``dense_server_client.py:90-103``).
-    Each example carries ``res`` [(pid, score, text), ...]."""
+    ``passage2id.map.json`` map, which is keyed by the CORPUS INDEX as a
+    string (``dense_server_client.py:100`` indexes it by ``str(pid)``).
+    Each example carries ``res`` [(pid, score, text), ...]; the pid element
+    of each triple is the corpus index used for the lookup."""
     sub: Dict[str, List[str]] = {}
     for t in eval_data:
         ids = []
-        for _, _, text in t["res"][:topk]:
-            pid = passage2id.get(text)
-            if pid is not None:
-                ids.append(pid)
+        for pid, _, _ in t["res"][:topk]:
+            mapped = passage2id.get(str(pid))
+            if mapped is not None:
+                ids.append(mapped)
         sub[t["question"]] = ids
     return sub
 

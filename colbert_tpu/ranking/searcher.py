@@ -53,6 +53,23 @@ class SearchResult:
     scores: np.ndarray  # (B, topk) fp32
 
 
+def _meta_d_view(meta: dict, cfg: ColbertConfig) -> int:
+    """The index's stored rows-per-doc, validated against the serving config.
+
+    The doc-major reshape/gather silently misaligns if the serving config's
+    ``d_view`` differs from the value the index was built with, so a stored
+    ``meta['d_view']`` is authoritative and a mismatch is an error."""
+    stored = meta.get("d_view")
+    if stored is None:
+        return cfg.multiview.d_view
+    if int(stored) != cfg.multiview.d_view:
+        raise ValueError(
+            f"index was built with d_view={stored} but the serving config has "
+            f"multiview.d_view={cfg.multiview.d_view}; these must match"
+        )
+    return int(stored)
+
+
 def make_probe_fn(codec, coarse, quant, codes, offsets, *, nprobe: int, cap: int, depth: int, approx_topk: bool = False):
     """Codec-dispatched candidate generator closure for :func:`retrieval_core`.
 
@@ -250,7 +267,7 @@ class ColbertSearcher:
         lens = ivf["offsets"][1:] - ivf["offsets"][:-1]
         self.max_list_len = int(lens.max()) if lens.size else 1
         self.rerank_cap = (
-            self.cfg.multiview.d_view if meta.get("multiview", True) else int(doclens.max() or 1)
+            _meta_d_view(meta, self.cfg) if meta.get("multiview", True) else int(doclens.max() or 1)
         )
         self.uniform_doclen = bool(len(doclens) and (doclens == self.rerank_cap).all())
         self._search_fns = {}

@@ -142,8 +142,10 @@ class ShardedColbertSearcher:
         lens = sh["offsets"][:, 1:] - sh["offsets"][:, :-1]
         self.max_list_len = max(1, int(lens.max()))
         self.num_docs = int(np.asarray(storage.read_meta()["num_docs"]))
+        from colbert_tpu.ranking.searcher import _meta_d_view
+
         self.rerank_cap = (
-            cfg.multiview.d_view if meta.get("multiview", True)
+            _meta_d_view(meta, cfg) if meta.get("multiview", True)
             else max(1, int(np.asarray(storage.read_doclens()).max()))
         )
         # uniform doclens (multiview): shard padding keeps the doc-major

@@ -88,6 +88,13 @@ class CETrainer:
                 group = c.eval_topk
                 continue
             negs = list(ex["hard_negative_ctxs"])
+            if not negs:
+                # the reference asserts len >= 18 (ce_model.py:60); fail with
+                # the offending question instead of an IndexError on negs[-1]
+                raise ValueError(
+                    f"CE {mode} example has no hard_negative_ctxs: "
+                    f"question={ex['question']!r}"
+                )
             neg_num = c.neg_num * 2 if mode == "dev" else c.neg_num
             while len(negs) < max(neg_num, c.neg_pool_hi if mode == "train" else neg_num):
                 negs.append(negs[-1])

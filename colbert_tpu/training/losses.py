@@ -33,10 +33,10 @@ def kl_loss(y_pred: jax.Array, y_true: jax.Array) -> jax.Array:
     return jnp.sum(q * (logq - logp)) / y_pred.shape[0]
 
 
-def mean_positive_rank(scores: jax.Array, group_size: int, num_pos: int) -> jax.Array:
-    """Eval proxy used by the reference during training
-    (``colbert_model.py:21-28`` ``get_mrr`` — despite the name it returns
-    the MEAN SORTED RANK of the positive docs; lower is better).
+def positive_ranks(scores: jax.Array, group_size: int, num_pos: int) -> jax.Array:
+    """Per-query mean sorted rank of the positive docs (lower is better);
+    the per-row form of the reference's ``get_mrr`` proxy
+    (``colbert_model.py:21-28``).
 
     Row i's positives are columns [i*group_size, i*group_size + num_pos).
     """
@@ -45,15 +45,26 @@ def mean_positive_rank(scores: jax.Array, group_size: int, num_pos: int) -> jax.
     col = jnp.arange(nq)[:, None] * group_size
     is_pos = (order >= col) & (order < col + num_pos)
     ranks = jnp.broadcast_to(jnp.arange(nd)[None, :], scores.shape)
-    return jnp.where(is_pos, ranks, 0).sum() / (nq * num_pos)
+    return jnp.where(is_pos, ranks, 0).sum(axis=-1) / num_pos
 
 
-def reciprocal_rank_of_first_positive(scores: jax.Array, group_size: int, num_pos: int) -> jax.Array:
-    """True MRR over the in-batch eval groups (a better-behaved proxy than
-    the reference's mean-rank; both are reported)."""
+def reciprocal_ranks(scores: jax.Array, group_size: int, num_pos: int) -> jax.Array:
+    """Per-query reciprocal rank of the first positive."""
     nq, nd = scores.shape
     order = jnp.argsort(-scores, axis=-1)
     col = jnp.arange(nq)[:, None] * group_size
     is_pos = (order >= col) & (order < col + num_pos)
     first = jnp.argmax(is_pos, axis=-1)  # rank of first positive
-    return (1.0 / (first + 1.0)).mean()
+    return 1.0 / (first + 1.0)
+
+
+def mean_positive_rank(scores: jax.Array, group_size: int, num_pos: int) -> jax.Array:
+    """Batch mean of :func:`positive_ranks` (the reference's training-time
+    eval proxy)."""
+    return positive_ranks(scores, group_size, num_pos).mean()
+
+
+def reciprocal_rank_of_first_positive(scores: jax.Array, group_size: int, num_pos: int) -> jax.Array:
+    """True MRR over the in-batch eval groups (a better-behaved proxy than
+    the reference's mean-rank; both are reported)."""
+    return reciprocal_ranks(scores, group_size, num_pos).mean()

@@ -35,8 +35,8 @@ from colbert_tpu.training.checkpoint import CheckpointManager
 from colbert_tpu.training.dataset import RetrievalDataset, RetrievalSampler, TrainBatch
 from colbert_tpu.training.losses import (
     biencoder_nll_loss,
-    mean_positive_rank,
-    reciprocal_rank_of_first_positive,
+    positive_ranks,
+    reciprocal_ranks,
 )
 from colbert_tpu.training.train_state import TrainState, make_train_state
 from colbert_tpu.utils.logging import Timers, get_logger
@@ -151,13 +151,17 @@ class ColbertTrainer:
         group = self.cfg.train.eval_num_positives + self.cfg.train.eval_num_negatives
         num_pos = self.cfg.train.eval_num_positives
 
-        def step(params, q_ids, q_attn, q_active, d_ids, d_attn, d_active):
+        def step(params, q_ids, q_attn, q_active, d_ids, d_attn, d_active, q_valid):
             Q = model.apply({"params": params}, q_ids, q_attn, method=model.query)
             D = model.apply({"params": params}, d_ids, d_attn, method=model.doc)
             scores = maxsim_xla(Q, D, q_active, d_active)
+            # pad rows (dev set smaller than the fixed global batch): their
+            # doc columns must not perturb real queries' rankings
+            doc_valid = jnp.repeat(q_valid, group)
+            scores = jnp.where(doc_valid[None, :], scores, -jnp.inf)
             return (
-                mean_positive_rank(scores, group, num_pos),
-                reciprocal_rank_of_first_positive(scores, group, num_pos),
+                positive_ranks(scores, group, num_pos),
+                reciprocal_ranks(scores, group, num_pos),
             )
 
         return jax.jit(step)
@@ -263,15 +267,26 @@ class ColbertTrainer:
 
     def evaluate(self, dev_ds: RetrievalDataset) -> Dict[str, float]:
         c = self.cfg.train
-        global_bs = max(1, min(len(dev_ds), c.per_device_batch_size * self.mesh.shape["data"]))
-        sampler = RetrievalSampler(dev_ds, self.tok, c, global_bs, is_eval=True)
+        # fixed global batch (a multiple of the data axis by construction);
+        # partial final batches are padded and the pad rows masked out —
+        # device_put with P('data') requires divisibility
+        n_data = self.mesh.shape["data"]
+        global_bs = c.per_device_batch_size * n_data
+        sampler = RetrievalSampler(dev_ds, self.tok, c, global_bs, is_eval=True, drop_last=False)
+        group = c.eval_num_positives + c.eval_num_negatives
         eval_step = self._compiled.setdefault("eval", self._eval_step_fn())
-        ranks, rrs, n = [], [], 0
+        ranks, rrs = [], []
         for batch in sampler.epoch(0):
-            mean_rank, mrr = eval_step(self.state.params, *self._shard_batch(batch))
-            ranks.append(float(mean_rank))
-            rrs.append(float(mrr))
-            n += 1
+            n_real = batch.q_ids.shape[0]
+            batch = _pad_batch(batch, global_bs, group)
+            q_valid = np.zeros(global_bs, bool)
+            q_valid[:n_real] = True
+            r, rr = eval_step(
+                self.state.params, *self._shard_batch(batch),
+                jax.device_put(jnp.asarray(q_valid), batch_sharding(self.mesh, 1)),
+            )
+            ranks += list(np.asarray(r)[:n_real])
+            rrs += list(np.asarray(rr)[:n_real])
         metrics = {
             "eval_mean_positive_rank": float(np.mean(ranks)) if ranks else float("nan"),
             "eval_mrr": float(np.mean(rrs)) if rrs else float("nan"),
@@ -313,6 +328,20 @@ class ColbertTrainer:
         self._init_state(total_steps=1)
         restored = self.ckpt.restore(step, {"params": self.state.params, "opt_state": self.state.opt_state, "step": 0})
         return restored["params"]
+
+
+def _pad_batch(batch: TrainBatch, global_bs: int, group: int) -> TrainBatch:
+    """Pad a partial eval batch up to ``global_bs`` queries (and
+    ``global_bs * group`` docs) with zero rows; callers mask the pad rows."""
+    n = batch.q_ids.shape[0]
+    if n == global_bs:
+        return batch
+    padq = lambda a: np.pad(a, ((0, global_bs - n), (0, 0)))
+    padd = lambda a: np.pad(a, ((0, (global_bs - n) * group), (0, 0)))
+    return TrainBatch(
+        padq(batch.q_ids), padq(batch.q_attn), padq(batch.q_active),
+        padd(batch.d_ids), padd(batch.d_attn), padd(batch.d_active),
+    )
 
 
 def _merge_params(full: Any, partial: Any) -> Any:

@@ -167,8 +167,13 @@ def test_merge_and_submission():
     res = [[(3, 1.5, "a"), (7, 1.0, "b")]]
     merged = merge_to_reader_input(exs, res)
     assert merged[0]["res"][0] == (3, 1.5, "a")
-    sub = make_submission(merged, {"a": "P003", "b": "P007"}, topk=2)
+    # passage2id.map.json is keyed by str(corpus index), NOT passage text
+    # (reference dense_server_client.py:100)
+    sub = make_submission(merged, {"3": "P003", "7": "P007"}, topk=2)
     assert sub["q1"] == ["P003", "P007"]
+    # unmapped pids are skipped, not emitted as None
+    sub = make_submission(merged, {"3": "P003"}, topk=2)
+    assert sub["q1"] == ["P003"]
 
 
 def test_config_yaml_loads():

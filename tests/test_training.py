@@ -120,6 +120,31 @@ def test_train_loss_decreases_and_resume(tiny_cfg, tokenizer, mesh8):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_evaluate_indivisible_dev_set(tiny_cfg, tokenizer, mesh8):
+    """A dev set not divisible by the data-axis size must be padded and
+    masked, not crash device_put (ADVICE r1) — and padding must not change
+    metrics for the real rows."""
+    from colbert_tpu.training import ColbertTrainer
+
+    trainer = ColbertTrainer(tiny_cfg, tokenizer, mesh=mesh8)
+    trainer._init_state(total_steps=1)
+    m5 = trainer.evaluate(RetrievalDataset(make_examples(5)))  # 5 % 4 != 0
+    assert np.isfinite(m5["eval_mrr"]) and 0.0 < m5["eval_mrr"] <= 1.0
+    # padded eval over the first 4 examples == exact unpadded batch of 4
+    m4 = trainer.evaluate(RetrievalDataset(make_examples(4)))
+    m5_head = trainer.evaluate(RetrievalDataset(make_examples(5)[:4]))
+    assert m4["eval_mrr"] == pytest.approx(m5_head["eval_mrr"])
+
+
+def test_ce_empty_negatives_raises(tiny_cfg, tokenizer, mesh8):
+    from colbert_tpu.training import CETrainer
+
+    trainer = CETrainer(tiny_cfg, tokenizer, mesh=mesh8)
+    bad = [{"question": "q-no-negs", "positive_ctxs": ["p"], "hard_negative_ctxs": []}]
+    with pytest.raises(ValueError, match="q-no-negs"):
+        trainer._build_pairs(bad, "train")
+
+
 def test_ce_train_smoke(tiny_cfg, tokenizer, mesh8):
     from colbert_tpu.training import CETrainer
 
