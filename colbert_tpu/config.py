@@ -186,11 +186,26 @@ class ServeConfig:
     # TPU-optimized approximate top-k in the probe stage (~2x; recall-safe:
     # candidates feed an exact MaxSim re-rank)
     approx_probe_topk: bool = True
+    # probe implementation for the sq codec: "batched" scans each probed IVF
+    # list once per query batch (list-major, see ops/sq_probe_batched.py);
+    # "token" scans per (token, list) pair (round-1 kernel).  "auto" =
+    # batched.  PQ always uses the token-major ADC path.
+    probe_impl: str = "auto"
+    # batched probe: rows kept per (token, probed list) before the per-token
+    # top-depth.  Candidates per token = nprobe * probe_list_topr.
+    probe_list_topr: int = 8
     # exact re-rank backend: "pallas" (fused DMA-streamed gather+MaxSim
     # kernel; measured 253 -> 306 QPS on v5e at identical recall) or "xla"
     # (gather + einsum).  pallas applies to uniform-doclen corpora with
     # max_candidates % 128 == 0 and silently falls back to xla otherwise.
     rerank_kernel: str = "pallas"
+    # re-rank embedding table dtype: "bfloat16" (default), "float32", or
+    # "int8" (lane-packed per-dim-quantized table: 4x corpus per HBM byte —
+    # the beyond-HBM serving mode; requires a multiview/uniform corpus).
+    # The reference's analogue is the fp16 CPU-resident flat table
+    # (colbert_ranker.py:61-73) bounded by host RAM; here the bound is
+    # HBM / (d_view * dim) bytes per doc.
+    rerank_dtype: str = "bfloat16"
     host: str = "127.0.0.1"
     port: int = 9090
     authkey: str = "colbert-tpu"

@@ -5,6 +5,7 @@ from colbert_tpu.ops.sq import sq_train, sq_encode, sq_query, sq_score
 from colbert_tpu.ops.ivf import (
     ivf_probe_adc,
     ivf_probe_sq,
+    ivf_probe_sq_batched,
     sort_by_list,
     dedup_pids_by_score,
     dedup_pids_by_approx_maxsim,
@@ -17,7 +18,7 @@ __all__ = [
     "kmeans", "assign_clusters", "kmeans_plusplus_init",
     "pq_train", "pq_encode", "pq_decode", "adc_lut", "adc_score", "adc_score_onehot",
     "sq_train", "sq_encode", "sq_query", "sq_score",
-    "ivf_probe_adc", "ivf_probe_sq", "sort_by_list",
+    "ivf_probe_adc", "ivf_probe_sq", "ivf_probe_sq_batched", "sort_by_list",
     "dedup_pids_by_score", "dedup_pids_by_approx_maxsim",
     "topk", "topk_merge_gathered",
     "batch_index_select", "span_mean", "max_pool_by_mask", "avg_pool_by_mask",

@@ -222,6 +222,71 @@ def ivf_probe_sq(
     return scores.reshape(T_pad, depth)[:T], rows.reshape(T_pad, depth)[:T]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "depth", "maxb", "tpl", "r", "approx_topk", "interpret"),
+)
+def ivf_probe_sq_batched(
+    q_tokens: jax.Array,          # (T, d) query token embeddings
+    coarse_centroids: jax.Array,  # (K, d)
+    proj: jax.Array,              # (d, sq_dim)
+    scales: jax.Array,            # (sq_dim,)
+    codes8_sorted: jax.Array,     # (N, sq_dim) int8, CSR-sorted by list
+    offsets: jax.Array,           # (K+1,) int32
+    *,
+    nprobe: int,
+    depth: int,
+    maxb: int,                    # ceil((max_list_len + 31) / 128)
+    tpl: int = 128,
+    r: int = 2,
+    approx_topk: bool = False,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """List-major batched SQ probe: same contract as :func:`ivf_probe_sq`,
+    but each probed list is scanned ONCE for the whole token batch instead of
+    once per token (see :mod:`colbert_tpu.ops.sq_probe_batched`).  The
+    candidate set per token is the top-``depth`` over per-(token, probed
+    list) top-``r`` rows, rather than the global top-``depth`` over all
+    probed rows — ``r`` trades a little recall for a ~50x smaller top-k.
+    ``maxb`` bounds a list's 128-row block count (from max list length) and
+    only affects code padding."""
+    from colbert_tpu.ops.sq import sq_query
+    from colbert_tpu.ops.sq_probe_batched import (
+        build_slot_schedule,
+        probe_batched_postprocess,
+        slot_capacity,
+        sq_batch_list_scan,
+    )
+    from colbert_tpu.ops.sq_probe_pallas import pad_codes_for_scan
+
+    T, d = q_tokens.shape
+    K = coarse_centroids.shape[0]
+    sq_dim = codes8_sorted.shape[1]
+    pack = 128 // sq_dim
+
+    coarse = jnp.dot(q_tokens, coarse_centroids.T, preferred_element_type=jnp.float32)
+    _, lists = jax.lax.top_k(coarse, nprobe)  # (T, nprobe)
+
+    sched = build_slot_schedule(
+        lists, offsets, tpl=tpl, s_cap=slot_capacity(T * nprobe, K, tpl), pack=pack
+    )
+    t_pad = ((T + 127) // 128) * 128
+    qs = sq_query(q_tokens, proj, scales)     # (T, sq_dim)
+    qsT = jnp.pad(qs, ((0, t_pad - T), (0, 0))).T
+    codes_padded = pad_codes_for_scan(codes8_sorted, maxb * 128)
+    out_s, out_r = sq_batch_list_scan(
+        sched.qidx, sched.meta, qsT, codes_padded, tpl=tpl, r=r,
+        interpret=interpret,
+    )
+    scores, rows = probe_batched_postprocess(
+        sched, out_s, out_r, T, nprobe, depth, approx_topk
+    )
+    # clamp: padded tail rows can never win (scores -inf outside [lo, hi)),
+    # but keep row ids in-range for downstream gathers
+    rows = jnp.where(rows >= 0, jnp.minimum(rows, codes8_sorted.shape[0] - 1), -1)
+    return scores, rows
+
+
 def dedup_pids_by_approx_maxsim(
     pids: jax.Array,       # (n,) candidate pid per (token, depth-slot), -1 invalid
     token_ids: jax.Array,  # (n,) query-token index of each slot

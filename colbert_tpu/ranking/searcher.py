@@ -38,6 +38,7 @@ from colbert_tpu.ops.ivf import (
     dedup_pids_by_score,
     ivf_probe_adc,
     ivf_probe_sq,
+    ivf_probe_sq_batched,
 )
 from colbert_tpu.ops.maxsim import maxsim_qd
 from colbert_tpu.parallel.mesh import make_mesh
@@ -70,7 +71,8 @@ def _meta_d_view(meta: dict, cfg: ColbertConfig) -> int:
     return int(stored)
 
 
-def make_probe_fn(codec, coarse, quant, codes, offsets, *, nprobe: int, cap: int, depth: int, approx_topk: bool = False):
+def make_probe_fn(codec, coarse, quant, codes, offsets, *, nprobe: int, cap: int, depth: int,
+                  approx_topk: bool = False, probe_impl: str = "auto", list_topr: int = 8):
     """Codec-dispatched candidate generator closure for :func:`retrieval_core`.
 
     ``quant``: PQ codebooks (codec="pq") or an (sq_proj, sq_scales) tuple
@@ -82,6 +84,13 @@ def make_probe_fn(codec, coarse, quant, codes, offsets, *, nprobe: int, cap: int
             approx_topk=approx_topk,
         )
     proj, scales = quant
+    if probe_impl in ("auto", "batched"):
+        maxb = (cap + 31 + 127) // 128
+        return lambda tokens: ivf_probe_sq_batched(
+            tokens, coarse, proj, scales, codes, offsets,
+            nprobe=nprobe, depth=depth, maxb=maxb, r=list_topr,
+            approx_topk=approx_topk,
+        )
     return lambda tokens: ivf_probe_sq(
         tokens, coarse, proj, scales, codes, offsets,
         nprobe=nprobe, cap=cap, depth=depth, token_chunk=min(32, tokens.shape[0]),
@@ -107,6 +116,8 @@ def retrieval_core(
     uniform_doclen: bool = False,
     candidate_ranking: str = "best_row",
     rerank_kernel: str = "xla",
+    emb_inv_scale: Optional[jax.Array] = None,
+    packed_int8: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Everything after query encode: probe -> candidate scores -> dedup ->
     gather -> exact MaxSim -> local top-k.  Pure function of device arrays
@@ -116,8 +127,16 @@ def retrieval_core(
     ``uniform_doclen``: every doc has exactly ``rerank_cap`` vectors
     (multiview).  The flat table is then reshaped to one row per doc —
     free, same memory layout — so the re-rank gather moves doc-sized
-    contiguous blocks (~10x faster on TPU than per-token-row gathers)."""
+    contiguous blocks (~10x faster on TPU than per-token-row gathers).
+
+    ``packed_int8``: ``emb_table`` is an int8 lane-packed table
+    (:func:`colbert_tpu.ops.rerank_pallas.pack_int8_table`) with per-dim
+    dequantization vector ``1/scale`` in ``emb_inv_scale`` — 4x the corpus
+    per HBM byte vs bf16 (the beyond-HBM serving mode).  Requires
+    ``uniform_doclen``."""
     B, q_view, _ = Qm.shape
+    if packed_int8 and not uniform_doclen:
+        raise ValueError("packed int8 rerank requires a uniform-doclen (multiview) corpus")
 
     tokens = Qm.reshape(B * q_view, -1)
     adc_scores, rows = probe_fn(tokens)  # (B*qv, depth)
@@ -132,9 +151,11 @@ def retrieval_core(
 
     num_docs = doclens.shape[0]
     dim = Qm.shape[-1]
+    nk = dim // 128
     if uniform_doclen:
         # (N, dim) -> (num_docs, rerank_cap * dim): same layout, no copy
-        emb_by_doc = emb_table[: num_docs * rerank_cap].reshape(num_docs, rerank_cap * dim)
+        rows_per_doc = nk * rerank_cap if packed_int8 else rerank_cap
+        emb_by_doc = emb_table[: num_docs * rows_per_doc].reshape(num_docs, -1)
 
     token_ids = jnp.repeat(jnp.arange(q_view, dtype=jnp.int32), depth)
     if candidate_ranking == "approx_maxsim":
@@ -166,13 +187,22 @@ def retrieval_core(
         qc = cand.shape[0]
 
         if use_fused_rerank:
-            from colbert_tpu.ops.rerank_pallas import maxsim_rerank_uniform
+            from colbert_tpu.ops.rerank_pallas import (
+                maxsim_rerank_uniform,
+                maxsim_rerank_uniform_packed,
+            )
 
             # q is already mask-multiplied (Qm); docs are uniform -> no
             # doclen mask needed: identical semantics to the XLA branch
-            scores = maxsim_rerank_uniform(
-                cand, q, emb_table[: num_docs * rerank_cap], dv=rerank_cap, tc=128
-            )
+            if packed_int8:
+                scores = maxsim_rerank_uniform_packed(
+                    cand, q * emb_inv_scale, emb_table[: num_docs * nk * rerank_cap],
+                    dv=rerank_cap, nk=nk, tc=128,
+                )
+            else:
+                scores = maxsim_rerank_uniform(
+                    cand, q, emb_table[: num_docs * rerank_cap], dv=rerank_cap, tc=128
+                )
             k = min(topk, max_cand)
             ts, ti = jax.lax.top_k(scores, k)
             tp = jnp.take_along_axis(cand, ti, axis=1)
@@ -183,6 +213,13 @@ def retrieval_core(
             safe = jnp.maximum(c_slice, 0)
             ln = doclens[safe]
             valid = (jnp.arange(rerank_cap)[None, None, :] < ln[..., None]) & (c_slice >= 0)[..., None]
+            if packed_int8:
+                D = emb_by_doc[safe].reshape(qc, cand_chunk, nk, rerank_cap, 128)
+                D = jnp.transpose(D, (0, 1, 3, 2, 4)).reshape(qc, cand_chunk, rerank_cap, dim)
+                return maxsim_qd(
+                    (q * emb_inv_scale).astype(jnp.bfloat16), D.astype(jnp.bfloat16),
+                    qmask, valid.astype(jnp.bfloat16),
+                )
             if uniform_doclen:
                 D = emb_by_doc[safe].reshape(qc, cand_chunk, rerank_cap, dim)
             else:
@@ -231,7 +268,7 @@ class ColbertSearcher:
         params: Any,
         storage: IndexStorage,
         mesh=None,
-        rerank_dtype=jnp.bfloat16,
+        rerank_dtype=None,
     ):
         self.cfg = cfg
         self.tok = tokenizer
@@ -239,6 +276,10 @@ class ColbertSearcher:
         self.model = ColbertModel(cfg.model, cfg.multiview)
         self.params = jax.device_put(params, param_shardings(params, self.mesh))
         self.timers = Timers()
+        if rerank_dtype is None:
+            rerank_dtype = {
+                "bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8,
+            }[cfg.serve.rerank_dtype]
 
         meta = storage.read_meta()
         ivf = storage.read_ivf()
@@ -259,8 +300,6 @@ class ColbertSearcher:
         self.row_emb = jnp.asarray(ivf["row_emb"], jnp.int32)
         self.offsets = jnp.asarray(ivf["offsets"], jnp.int32)
         self.emb2pid = jnp.asarray(ivf["emb2pid"], jnp.int32)
-        emb_table = storage.load_all_embeddings().astype(np.float32)
-        self.emb_table = jnp.asarray(emb_table, rerank_dtype)
         self.doc_offsets = jnp.asarray(IndexStorage.doc_offsets_from_doclens(doclens.tolist()), jnp.int32)
         self.doclens = jnp.asarray(doclens, jnp.int32)
 
@@ -270,6 +309,28 @@ class ColbertSearcher:
             _meta_d_view(meta, self.cfg) if meta.get("multiview", True) else int(doclens.max() or 1)
         )
         self.uniform_doclen = bool(len(doclens) and (doclens == self.rerank_cap).all())
+
+        emb_np = storage.load_all_embeddings()
+        dim = int(meta["dim"])
+        self.packed_int8 = rerank_dtype == jnp.int8
+        if self.packed_int8:
+            # beyond-HBM serving mode: int8 lane-packed table = 4x the corpus
+            # per HBM byte vs the reference's fp16 table
+            # (colbert_ranker.py:61-73); exactness up to int8 quantization
+            from colbert_tpu.ops.rerank_pallas import pack_int8_table, quantize_emb_table
+
+            if not self.uniform_doclen:
+                raise ValueError(
+                    "rerank_dtype=int8 requires a uniform-doclen (multiview) corpus"
+                )
+            q8, scale = quantize_emb_table(emb_np)
+            self.emb_table = jnp.asarray(pack_int8_table(q8, self.rerank_cap))
+            self.emb_inv_scale = jnp.asarray(1.0 / scale, jnp.float32)
+            self.nk = dim // 128
+        else:
+            self.emb_table = jnp.asarray(emb_np.astype(np.float32), rerank_dtype)
+            self.emb_inv_scale = None
+            self.nk = dim // 128 if dim % 128 == 0 else 0
         self._search_fns = {}
 
     # ---- jitted pipeline ----
@@ -281,14 +342,18 @@ class ColbertSearcher:
         uniform = self.uniform_doclen
         ranking = self.cfg.serve.candidate_ranking
 
+        packed_int8 = self.packed_int8
+
         def fn(params, coarse, quant, codes, offsets, row_emb, emb2pid,
-               emb_table, doc_offsets, doclens, q_ids, q_attn, q_active):
+               emb_table, emb_inv_scale, doc_offsets, doclens, q_ids, q_attn, q_active):
             Q = model.apply({"params": params}, q_ids, q_attn, method=model.query)  # (B, qv, dim)
             qm = q_active.astype(Q.dtype)
             Qm = Q * qm[..., None]
             probe_fn = make_probe_fn(
                 codec, coarse, quant, codes, offsets, nprobe=nprobe, cap=cap, depth=depth,
                 approx_topk=self.cfg.serve.approx_probe_topk,
+                probe_impl=self.cfg.serve.probe_impl,
+                list_topr=self.cfg.serve.probe_list_topr,
             )
             return retrieval_core(
                 Qm, qm, probe_fn, row_emb, emb2pid,
@@ -297,6 +362,7 @@ class ColbertSearcher:
                 rerank_cap=rerank_cap, topk=topk, query_chunk=query_chunk,
                 uniform_doclen=uniform, candidate_ranking=ranking,
                 rerank_kernel=self.cfg.serve.rerank_kernel,
+                emb_inv_scale=emb_inv_scale, packed_int8=packed_int8,
             )
 
         return jax.jit(fn)
@@ -343,10 +409,11 @@ class ColbertSearcher:
             self._search_fns[key] = self._make_search_fn(*key)
         fn = self._search_fns[key]
 
+        inv = self.emb_inv_scale if self.emb_inv_scale is not None else jnp.ones((1,), jnp.float32)
         with self.timers.span("search"):
             ts, tp = fn(
                 self.params, self.coarse, self._quant, self.codes, self.offsets,
-                self.row_emb, self.emb2pid, self.emb_table, self.doc_offsets, self.doclens,
+                self.row_emb, self.emb2pid, self.emb_table, inv, self.doc_offsets, self.doclens,
                 jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active),
             )
         return SearchResult(np.asarray(tp), np.asarray(ts))
@@ -362,12 +429,18 @@ class ColbertSearcher:
         Qm = Q * jnp.asarray(enc.active_mask, Q.dtype)[..., None]
         B = Q.shape[0]
         cap = self.rerank_cap
-        all_pids = jnp.arange(self.num_docs, dtype=jnp.int32)
-        base = self.doc_offsets[all_pids]
-        idx = base[:, None] + jnp.arange(cap)[None, :]
         valid = jnp.arange(cap)[None, :] < self.doclens[:, None]
-        idx = jnp.clip(idx, 0, self.emb_table.shape[0] - 1)
-        D = self.emb_table[idx.reshape(-1)].reshape(self.num_docs, cap, -1)
+        if self.packed_int8:
+            # dequantize the lane-packed table (oracle path: small corpora)
+            D = self.emb_table.reshape(self.num_docs, self.nk, cap, 128)
+            D = jnp.transpose(D, (0, 2, 1, 3)).reshape(self.num_docs, cap, -1)
+            D = D.astype(jnp.float32) * self.emb_inv_scale
+        else:
+            all_pids = jnp.arange(self.num_docs, dtype=jnp.int32)
+            base = self.doc_offsets[all_pids]
+            idx = base[:, None] + jnp.arange(cap)[None, :]
+            idx = jnp.clip(idx, 0, self.emb_table.shape[0] - 1)
+            D = self.emb_table[idx.reshape(-1)].reshape(self.num_docs, cap, -1)
         from colbert_tpu.ops.maxsim import maxsim_xla
 
         scores = maxsim_xla(

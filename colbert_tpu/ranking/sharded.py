@@ -170,6 +170,8 @@ class ShardedColbertSearcher:
                 codec, coarse, quant, sq(codes), sq(offsets),
                 nprobe=nprobe, cap=cap, depth=depth,
                 approx_topk=self.cfg.serve.approx_probe_topk,
+                probe_impl=self.cfg.serve.probe_impl,
+                list_topr=self.cfg.serve.probe_list_topr,
             )
             ts, tp = retrieval_core(
                 Qm, qm, probe_fn, sq(row_emb),
@@ -178,6 +180,7 @@ class ShardedColbertSearcher:
                 rerank_cap=rerank_cap, topk=k_local, query_chunk=query_chunk,
                 uniform_doclen=uniform,
                 candidate_ranking=self.cfg.serve.candidate_ranking,
+                rerank_kernel=self.cfg.serve.rerank_kernel,
             )
             tp = jnp.where(tp >= 0, tp + sq(pid_base)[0], -1)
             # ICI merge: gather every shard's local top-k, reduce to global top-k

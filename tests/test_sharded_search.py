@@ -146,3 +146,55 @@ def test_sharded_ragged_corpus(tmp_path, mesh8):
     # SCORES (tie-safe), not pid sets
     assert ((got.pids >= 0) & (got.pids < len(texts))).all()
     np.testing.assert_allclose(got.scores[0, 0], oracle.scores[0, 0], rtol=5e-2)
+
+
+def test_sharded_uses_fused_kernels_and_matches_single(tmp_path, mesh8):
+    """VERDICT item 5: the sharded searcher runs the SAME fast path as the
+    single-chip searcher (batched probe + Pallas fused rerank, interpret mode
+    on CPU) and agrees with it modulo the all-gather merge."""
+    import jax
+    import jax.numpy as jnp
+
+    from colbert_tpu.config import (
+        ColbertConfig, IndexConfig, MeshConfig, ModelConfig, MultiviewConfig,
+        ServeConfig, TokenizerConfig,
+    )
+    from colbert_tpu.indexing import CollectionEncoder, IndexBuilder
+    from colbert_tpu.models import ColbertModel
+    from colbert_tpu.ranking import ColbertSearcher
+    from colbert_tpu.ranking.sharded import ShardedColbertSearcher
+    from colbert_tpu.tokenization import ColbertTokenizer, build_vocab, write_vocab
+    from tests.test_end_to_end import TOPICS, corpus_texts
+
+    texts = corpus_texts(160)
+    vp = write_vocab(build_vocab(texts + TOPICS, max_size=4000), tmp_path / "vocab.txt")
+    cfg = ColbertConfig(
+        model=ModelConfig(vocab_size=4096, hidden_size=32, num_layers=1, num_heads=2,
+                          intermediate_size=64, max_position_embeddings=64, dim=16, dtype="float32"),
+        multiview=MultiviewConfig(enabled=True, q_view=4, d_view=4),
+        tokenizer=TokenizerConfig(vocab_path=str(vp), query_maxlen=16, doc_maxlen=32),
+        index=IndexConfig(codec="sq", sq_dim=8, partitions=8, kmeans_iters=5, num_parts=2),
+        # max_candidates=128: the fused rerank requires a multiple of 128
+        serve=ServeConfig(nprobe=8, candidate_depth=64, topk=5, max_candidates=128,
+                          rerank_kernel="pallas_interpret", probe_impl="batched"),
+        mesh=MeshConfig(data=4, model=2),
+    )
+    tok = ColbertTokenizer(cfg.tokenizer, cfg.multiview)
+    model = ColbertModel(cfg.model, cfg.multiview)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(7), ids, jnp.ones_like(ids),
+                        jnp.zeros((1, 32), jnp.int32), jnp.ones((1, 32), jnp.int32))["params"]
+    storage = CollectionEncoder(cfg, tok, params, mesh=mesh8).encode_corpus(
+        texts, str(tmp_path / "idx"), batch_size=8
+    )
+    IndexBuilder(cfg, storage).build(chunk=256)
+    single = ColbertSearcher(cfg, tok, params, storage, mesh=mesh8)
+    sharded = ShardedColbertSearcher(cfg, tok, params, storage, mesh=mesh8, rerank_dtype=jnp.bfloat16)
+    queries = ["apple fruit", "piano music"]
+    a = single.search(queries, topk=5)
+    b = sharded.search(queries, topk=5)
+    # same kernels both sides: the top-5 score vectors must agree to bf16
+    # tolerance (the untrained tiny model ties many duplicate-topic docs, so
+    # pid sets are ambiguous — scores are the tie-safe comparison)
+    np.testing.assert_allclose(b.scores, a.scores, rtol=2e-2, atol=2e-2)
+    assert ((b.pids >= 0) & (b.pids < len(texts))).all()
