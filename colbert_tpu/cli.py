@@ -109,7 +109,7 @@ def cmd_train_ce(args) -> None:
     trainer = CETrainer(cfg, tok, init_params=init_params)
     train_ds = RetrievalDataset.from_json(args.train_data)
     dev_ds = RetrievalDataset.from_json(args.dev_data) if args.dev_data else None
-    trainer.train(train_ds, dev_ds=dev_ds)
+    trainer.train(train_ds, dev_ds=dev_ds, resume=args.resume)
 
 
 def cmd_encode(args) -> None:
@@ -174,11 +174,7 @@ def cmd_evaluate(args) -> None:
 
         tok = _tokenizer(cfg)
         ce = CETrainer(cfg, tok)
-        ce._init_state(1)
-        latest = ce.ckpt.latest_step()
-        if latest is None:
-            raise FileNotFoundError(f"no CE checkpoints under {ce.ckpt.dir}")
-        ce_params = ce.ckpt.restore(latest, {"params": ce.state.params, "step": 0})["params"]
+        ce_params = ce.load_params_for_inference()
         base_retrieve = retrieve
 
         def retrieve(qs, k):  # noqa: F811
@@ -220,6 +216,13 @@ def main(argv: Optional[List[str]] = None) -> None:
         p.add_argument("--set", action="append", metavar="KEY=VALUE")
         p.add_argument("--pretrain", default=None, help="torch checkpoint to convert")
         p.add_argument("--checkpoint-step", type=int, default=None)
+        # multi-host (pod-slice) launch: run one process per host with the
+        # same command + a distinct --process-id.  The analogue of the
+        # reference's torch.distributed.launch (eval.sh:13).
+        p.add_argument("--coordinator", default=None,
+                       help="multi-host coordinator address host:port (pod launch)")
+        p.add_argument("--num-processes", type=int, default=None)
+        p.add_argument("--process-id", type=int, default=None)
         if corpus:
             p.add_argument("--corpus", required=True)
         if data:
@@ -231,7 +234,7 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     p = sub.add_parser("train-ce"); common(p)
     p.add_argument("--train-data", required=True); p.add_argument("--dev-data", default=None)
-    p.set_defaults(fn=cmd_train_ce)
+    p.add_argument("--resume", action="store_true"); p.set_defaults(fn=cmd_train_ce)
 
     p = sub.add_parser("encode"); common(p, corpus=True); p.set_defaults(fn=cmd_encode)
     p = sub.add_parser("build-index"); common(p); p.set_defaults(fn=cmd_build_index)
@@ -252,6 +255,15 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.set_defaults(fn=cmd_mine)
 
     args = ap.parse_args(argv)
+    if getattr(args, "coordinator", None):
+        if args.num_processes is None or args.process_id is None:
+            ap.error("--coordinator requires --num-processes and --process-id")
+        from colbert_tpu.parallel.mesh import init_distributed
+
+        # must run before any backend use: registers this process's devices
+        # into the global mesh (reference analogue: init_dist() NCCL setup,
+        # colbert/utils/distributed.py:19-26)
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
     _setup_jax_cache()
     args.fn(args)
 

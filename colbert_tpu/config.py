@@ -128,6 +128,7 @@ class CETrainConfig:
     learning_rate: float = 1e-5
     weight_decay: float = 0.01
     per_device_batch_size: int = 4
+    grad_accum_steps: int = 1
     num_epochs: int = 5
     score_temperature: float = 1.0
     neg_num: int = 4
@@ -136,6 +137,11 @@ class CETrainConfig:
     eval_topk: int = 100              # rerank top-100 (ce_test_args.eval_topk)
     max_grad_norm: float = 1.0
     seed: int = 1234
+    # eval + checkpoint cadence: same half-epoch machinery as the retriever
+    # (reference runs CE through the same callbacks, mytrainer_callbacks.py:31-35)
+    evals_per_epoch: int = 2
+    keep_checkpoints: int = 20
+    log_every: int = 50
     checkpoint_dir: str = "checkpoints/ce"
 
 

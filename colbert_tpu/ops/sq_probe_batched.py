@@ -77,13 +77,20 @@ def build_slot_schedule(
     scatter formulation cost ~10x the kernel it was feeding).
     """
     T, nprobe = lists.shape
+    K = offsets.shape[0] - 1
+    if K * T >= 2**31:
+        raise ValueError(f"packed (list, token) keys overflow int32: K={K} T={T}")
     P = T * nprobe
     l = lists.reshape(-1)
     t = jnp.repeat(jnp.arange(T, dtype=jnp.int32), nprobe)
 
-    order = jnp.argsort(l, stable=True)
-    ls = l[order]
-    ts = t[order]
+    # ONE value-sort of packed (list, token) keys; each pair's sorted
+    # position is recovered with an exact-match binary search below (cheaper
+    # than two payload-carrying argsorts)
+    key = l * T + t
+    ks = jnp.sort(key)
+    ls = ks // T
+    ts = ks % T
 
     iota = jnp.arange(P, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), ls[1:] != ls[:-1]])
@@ -125,10 +132,11 @@ def build_slot_schedule(
         axis=-1,
     )[:, None, :]
 
-    # unsort: pair i's slot/pos in t-major order (gather by inverse perm)
-    inv = jnp.argsort(order)
-    slot_of_pair = slot_sorted[inv]
-    pos_of_pair = pos_sorted[inv]
+    # pair i's slot/pos in t-major order: exact-match binary search of its
+    # packed key (keys are unique: top_k lists are distinct per token)
+    i_sorted = jnp.searchsorted(ks, key, side="left").astype(jnp.int32)
+    slot_of_pair = slot_sorted[i_sorted]
+    pos_of_pair = pos_sorted[i_sorted]
     return SlotSchedule(qidx, meta, slot_of_pair, pos_of_pair)
 
 
@@ -155,10 +163,13 @@ def _kernel(qidx_ref, meta_ref, qsT_ref, codes2_ref, out_s_ref, out_r_ref,
     def _():
         dma(0, 0).start()
 
-    # ---- query pack: one-hot (TPL, T) matmul — all in VMEM, no HBM gather
+    # ---- query pack: one-hot (TPL, T) matmul — all in VMEM, no HBM gather.
+    # bf16 operands: the (tpl, T)x(T, sq_dim) contraction is the kernel's
+    # biggest matmul and bf16 runs 4x the f32 MXU rate; the one-hot is exact
+    # in bf16 and qs rounding only perturbs candidate scores
     qid = qidx_ref[0]                                   # (tpl, 1) int32
     token_iota = jax.lax.broadcasted_iota(jnp.int32, (tpl, t_pad), 1)
-    oh = (qid == token_iota).astype(jnp.float32)        # (tpl, t_pad)
+    oh = (qid == token_iota).astype(jnp.bfloat16)       # (tpl, t_pad)
     # qpackT (sq_dim, tpl): qsT (sq_dim, t_pad) contracted with oh over tokens
     qpackT = jax.lax.dot_general(
         qsT_ref[:], oh,
@@ -274,6 +285,7 @@ def sq_batch_list_scan(
         raise ValueError("padded codes rows must divide the packing factor")
     codes2 = codes8.reshape(n_pad // pack, LANES)
 
+    qsT = qsT.astype(jnp.bfloat16)
     out_s, out_r = pl.pallas_call(
         functools.partial(_kernel, tpl=tpl, r=r, pack=pack, t_pad=t_pad),
         out_shape=(
@@ -326,14 +338,17 @@ def probe_batched_postprocess(
     ps = flat_s[idx].reshape(T, nprobe * r)
     pr = flat_r[idx].reshape(T, nprobe * r)
 
-    k = min(depth, ps.shape[1])
+    if ps.shape[1] <= depth:
+        # nothing to select — pass everything through (e.g. nprobe*r == depth)
+        pad = depth - ps.shape[1]
+        s = jnp.pad(ps, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        rows = jnp.pad(pr, ((0, 0), (0, pad)), constant_values=-1)
+        return s, rows.astype(jnp.int32)
+    k = depth
     if approx and not jax.default_backend() in ("cpu",):
         s, i = jax.lax.approx_max_k(ps, k)
     else:
         s, i = jax.lax.top_k(ps, k)
     rows = jnp.take_along_axis(pr, i, axis=1)
     rows = jnp.where(jnp.isfinite(s), rows, -1)
-    if k < depth:
-        s = jnp.pad(s, ((0, 0), (0, depth - k)), constant_values=-jnp.inf)
-        rows = jnp.pad(rows, ((0, 0), (0, depth - k)), constant_values=-1)
     return s, rows.astype(jnp.int32)

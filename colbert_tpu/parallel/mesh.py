@@ -89,6 +89,21 @@ def num_devices() -> int:
     return jax.device_count()
 
 
+def put_global(arr, sharding: NamedSharding) -> jax.Array:
+    """Place a host array onto a (possibly multi-process) sharding.
+
+    Single-process: plain ``device_put``.  Multi-process (pod slices): every
+    process holds the SAME global host array (deterministic seeded sampling
+    guarantees this for batches) and contributes its addressable shards via
+    ``make_array_from_callback`` — the replacement for the reference's
+    per-rank dataloader shards + NCCL all_gather (``training_utils.py:22-45``).
+    """
+    arr = np.asarray(arr)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

@@ -22,7 +22,7 @@ import numpy as np
 from colbert_tpu.config import ColbertConfig
 from colbert_tpu.models import CrossEncoderModel
 from colbert_tpu.models.sharding import param_shardings
-from colbert_tpu.parallel.mesh import batch_sharding, make_mesh
+from colbert_tpu.parallel.mesh import batch_sharding, make_mesh, put_global
 from colbert_tpu.tokenization import ColbertTokenizer
 from colbert_tpu.training.checkpoint import CheckpointManager
 from colbert_tpu.training.dataset import RetrievalDataset
@@ -49,8 +49,9 @@ class CETrainer:
         self.np_rng = np.random.default_rng(cfg.ce_train.seed)
         self._init_params = init_params
         self.state: Optional[TrainState] = None
-        self.ckpt = CheckpointManager(cfg.ce_train.checkpoint_dir)
+        self.ckpt = CheckpointManager(cfg.ce_train.checkpoint_dir, keep=cfg.ce_train.keep_checkpoints)
         self._compiled: Dict[str, Any] = {}
+        self.log: List[Dict[str, Any]] = []
 
     def _init_state(self, total_steps: int) -> None:
         if self.state is not None:
@@ -63,7 +64,7 @@ class CETrainer:
             from colbert_tpu.training.trainer import _merge_params
 
             params = _merge_params(full, params)
-        params = jax.device_put(params, param_shardings(params, self.mesh))
+        params = jax.tree.map(put_global, params, param_shardings(params, self.mesh))
         # reuse TrainConfig-shaped fields from CETrainConfig
         from colbert_tpu.config import TrainConfig
 
@@ -115,18 +116,38 @@ class CETrainer:
 
     def _train_step_fn(self):
         model, T = self.model, self.cfg.ce_train.score_temperature
+        accum = max(1, self.cfg.ce_train.grad_accum_steps)
+
+        def loss_for(params, rng, ids, attn, group):
+            logits = model.apply(
+                {"params": params}, ids, attn, deterministic=False, rngs={"dropout": rng}
+            )
+            scores = logits.reshape(-1, group) / T
+            labels = jnp.zeros((scores.shape[0],), jnp.int32)
+            return biencoder_nll_loss(scores, labels)
 
         def step(state: TrainState, rng, ids, attn, group):
-            def loss_fn(params):
-                logits = model.apply(
-                    {"params": params}, ids, attn, deterministic=False, rngs={"dropout": rng}
-                )
-                scores = logits.reshape(-1, group) / T
-                labels = jnp.zeros((scores.shape[0],), jnp.int32)
-                return biencoder_nll_loss(scores, labels)
+            if accum == 1:
+                loss, grads = jax.value_and_grad(loss_for)(state.params, rng, ids, attn, group)
+                return state.apply_gradients(grads=grads), loss
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            return state.apply_gradients(grads=grads), loss
+            # CE loss is a per-question softmax over its own (1+neg) row, so
+            # question-aligned micro-batching is loss-preserving (unlike the
+            # retriever's in-batch negatives)
+            micro = lambda a: a.reshape(accum, a.shape[0] // accum, *a.shape[1:])
+
+            def body(carry, inp):
+                gacc, lacc, i = carry
+                mids, mattn = inp
+                loss, grads = jax.value_and_grad(loss_for)(
+                    state.params, jax.random.fold_in(rng, 100 + i), mids, mattn, group
+                )
+                return (jax.tree.map(jnp.add, gacc, grads), lacc + loss, i + 1), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (gsum, lsum, _), _ = jax.lax.scan(body, (zeros, 0.0, 0), (micro(ids), micro(attn)))
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            return state.apply_gradients(grads=grads), lsum / accum
 
         return jax.jit(step, static_argnames=("group",), donate_argnums=(0,))
 
@@ -140,33 +161,108 @@ class CETrainer:
 
     # ---- public API ----
 
-    def train(self, train_ds: RetrievalDataset, dev_ds: Optional[RetrievalDataset] = None, num_epochs: Optional[int] = None):
+    def train(
+        self,
+        train_ds: RetrievalDataset,
+        dev_ds: Optional[RetrievalDataset] = None,
+        num_epochs: Optional[int] = None,
+        resume: bool = False,
+    ):
+        """Training loop at retriever-trainer parity: half-epoch eval+save
+        cadence, bit-reproducible resume (params + optimizer + deterministic
+        dataloader fast-forward), NaN guard, persisted JSONL metrics — the
+        reference runs CE through the same vendored-Trainer machinery
+        (``ce_trainer.py:21-40``, ``mytrainer_callbacks.py:31-35``)."""
         c = self.cfg.ce_train
         epochs = num_epochs if num_epochs is not None else c.num_epochs
         global_bs = c.per_device_batch_size * self.mesh.shape["data"]
         steps_per_epoch = max(1, len(train_ds) // global_bs)
         self._init_state(steps_per_epoch * epochs)
+
+        start_step = 0
+        if resume:
+            latest = self.ckpt.latest_step()
+            if latest is not None:
+                target = {"params": self.state.params, "opt_state": self.state.opt_state, "step": 0}
+                restored = self.ckpt.restore(latest, target)
+                from jax.sharding import NamedSharding
+
+                put = (
+                    lambda r, t: jax.device_put(r, t.sharding)
+                    if isinstance(getattr(t, "sharding", None), NamedSharding)
+                    else jnp.asarray(np.asarray(r))
+                )
+                self.state = self.state.replace(
+                    params=jax.tree.map(put, restored["params"], self.state.params),
+                    opt_state=jax.tree.map(put, restored["opt_state"], self.state.opt_state),
+                    step=latest,
+                )
+                start_step = latest
+                logger.info("CE resumed from step %d", latest)
+
         train_step = self._compiled.setdefault("train", self._train_step_fn())
+        eval_every = max(1, steps_per_epoch // max(1, c.evals_per_epoch))
         bs2 = batch_sharding(self.mesh, 2)
-        gstep = 0
+        start_epoch = start_step // max(1, steps_per_epoch)
+        gstep = start_epoch * steps_per_epoch
         logs = []
-        for epoch in range(epochs):
+        # per-step RNG is derived from (seed, gstep): identical resampling on
+        # resume.  The np_rng draws must also be replayed deterministically,
+        # so pair sampling uses a fresh per-step generator.
+        for epoch in range(start_epoch, epochs):
             order = np.random.default_rng(c.seed + epoch).permutation(len(train_ds))
             for s in range(steps_per_epoch):
                 idxs = order[s * global_bs : (s + 1) * global_bs]
                 if len(idxs) < global_bs:
                     break
+                if gstep < start_step:
+                    gstep += 1
+                    continue
+                self.np_rng = np.random.default_rng((c.seed, gstep))
                 ids, attn, group = self._build_pairs([train_ds[i] for i in idxs], "train")
                 rng = jax.random.fold_in(self.rng, gstep)
                 self.state, loss = train_step(
-                    self.state, rng, jax.device_put(jnp.asarray(ids), bs2), jax.device_put(jnp.asarray(attn), bs2), group
+                    self.state, rng, put_global(ids, bs2), put_global(attn, bs2), group
                 )
                 gstep += 1
-                logs.append(float(loss))
-            if dev_ds is not None:
-                logger.info("epoch %d dev_mrr=%.4f", epoch, self.evaluate(dev_ds))
-            self.ckpt.save(gstep, {"params": self.state.params, "step": gstep})
+                loss_f = float(loss)
+                if not np.isfinite(loss_f):
+                    raise FloatingPointError(
+                        f"non-finite CE loss {loss_f} at step {gstep} (epoch {epoch})"
+                    )
+                logs.append(loss_f)
+                if gstep % c.log_every == 0 or gstep == 1:
+                    logger.info("ce step %d loss=%.4f", gstep, float(np.mean(logs[-c.log_every:])))
+                if gstep % eval_every == 0:
+                    metrics = {"dev_mrr": self.evaluate(dev_ds)} if dev_ds is not None else {}
+                    if metrics:
+                        logger.info("ce step %d %s", gstep, metrics)
+                    self.log.append({"step": gstep, "loss": loss_f, **metrics})
+                    self.save(gstep, metrics)
+        self._dump_log()
         return logs
+
+    def save(self, step: int, metrics: Optional[Dict[str, float]] = None) -> str:
+        return self.ckpt.save(
+            step,
+            {"params": self.state.params, "opt_state": self.state.opt_state, "step": step},
+            metadata={"metrics": metrics or {}, "config": self.cfg.to_dict()},
+        )
+
+    def load_params_for_inference(self, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self.ckpt.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no CE checkpoints under {self.ckpt.dir}")
+        self._init_state(total_steps=1)
+        restored = self.ckpt.restore(
+            step, {"params": self.state.params, "opt_state": self.state.opt_state, "step": 0}
+        )
+        return restored["params"]
+
+    def _dump_log(self) -> None:
+        from colbert_tpu.utils.io import dump_jsonl
+
+        dump_jsonl(self.log, self.ckpt.dir / "ce_train_log.jsonl")
 
     def evaluate(self, dev_ds: RetrievalDataset) -> float:
         score_fn = self._compiled.setdefault("score", self._score_fn())

@@ -29,7 +29,7 @@ from colbert_tpu.config import ColbertConfig
 from colbert_tpu.models import ColbertModel
 from colbert_tpu.models.sharding import param_shardings
 from colbert_tpu.ops.maxsim import maxsim_xla
-from colbert_tpu.parallel.mesh import batch_sharding, make_mesh
+from colbert_tpu.parallel.mesh import batch_sharding, make_mesh, put_global
 from colbert_tpu.tokenization import ColbertTokenizer
 from colbert_tpu.training.checkpoint import CheckpointManager
 from colbert_tpu.training.dataset import RetrievalDataset, RetrievalSampler, TrainBatch
@@ -92,12 +92,12 @@ class ColbertTrainer:
             self.rng, dummy_q, jnp.ones_like(dummy_q), dummy_d, jnp.ones_like(dummy_d)
         )["params"]
         params = _merge_params(init_full, params)
-        params = jax.device_put(params, param_shardings(params, self.mesh))
+        params = jax.tree.map(put_global, params, param_shardings(params, self.mesh))
         self.state = make_train_state(self.model.apply, params, self.cfg.train, total_steps)
 
     def _shard_batch(self, batch: TrainBatch):
         bs1 = batch_sharding(self.mesh, 2)
-        arr = lambda a: jax.device_put(jnp.asarray(a), bs1)
+        arr = lambda a: put_global(a, bs1)
         return tuple(arr(a) for a in (batch.q_ids, batch.q_attn, batch.q_active, batch.d_ids, batch.d_attn, batch.d_active))
 
     # ---- jitted steps ----
@@ -283,7 +283,7 @@ class ColbertTrainer:
             q_valid[:n_real] = True
             r, rr = eval_step(
                 self.state.params, *self._shard_batch(batch),
-                jax.device_put(jnp.asarray(q_valid), batch_sharding(self.mesh, 1)),
+                put_global(q_valid, batch_sharding(self.mesh, 1)),
             )
             ranks += list(np.asarray(r)[:n_real])
             rrs += list(np.asarray(rr)[:n_real])

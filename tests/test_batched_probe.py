@@ -108,14 +108,15 @@ class TestBatchedScanKernel:
             s, p = slot_of[i], pos_of[i]
             got_s = out_s[s, :, p]
             got_r = out_r[s, :, p]
+            # the kernel's query-pack matmul runs in bf16 -> ~1e-3 rel error
             np.testing.assert_allclose(
-                np.sort(got_s), np.sort(ref_s[t, j]), rtol=1e-5, atol=1e-4,
+                np.sort(got_s), np.sort(ref_s[t, j]), rtol=5e-3, atol=5e-3,
                 err_msg=f"pair (t={t}, j={j})",
             )
             # rows agree wherever scores are unique
             for k in range(r):
                 if np.isfinite(got_s[k]):
-                    match = np.isclose(ref_s[t, j], got_s[k], rtol=1e-5, atol=1e-4)
+                    match = np.isclose(ref_s[t, j], got_s[k], rtol=5e-3, atol=5e-3)
                     assert got_r[k] in ref_rows[t, j][match]
 
 
