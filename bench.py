@@ -53,13 +53,19 @@ def make_synthetic_embeddings(num_docs, d_view, dim, seed=0):
     return embs
 
 
-def build_synthetic_index(embs, num_docs, d_view, dim, cfg):
-    import tempfile
+def build_synthetic_index(embs, num_docs, d_view, dim, cfg, cache: bool = True):
+    import os
 
     from colbert_tpu.indexing import IndexBuilder, IndexStorage
 
-    path = tempfile.mkdtemp(prefix=f"colbert_bench_{cfg.index.codec}_")
+    # persistent build cache: k-means++ seeding alone is minutes at K=4096,
+    # and the synthetic corpus is deterministic per (codec, size, balance)
+    tag = (f"{cfg.index.codec}_{num_docs}x{d_view}x{dim}_p{cfg.index.partitions}"
+           f"_b{cfg.index.balance_factor}_sq{cfg.index.sq_dim}_m{cfg.index.pq_m}")
+    path = f"/tmp/colbert_bench_idx_{tag}"
     storage = IndexStorage(path)
+    if cache and os.path.exists(os.path.join(path, "ivf", "offsets.npy")):
+        return storage
     parts = 4
     per = num_docs // parts
     for p in range(parts):
@@ -128,13 +134,22 @@ def bench_searcher(searcher, q_ids, q_attn, q_active, topk, nprobe, depth, n_war
     kw = dict(topk=topk, nprobe=nprobe, depth=depth, query_chunk=8)
     for _ in range(n_warm):
         res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
+    # per-batch latency: sequential, results pulled to host every call
     times = []
     for _ in range(n_iter):
         t0 = time.perf_counter()
         res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
         times.append(time.perf_counter() - t0)
+    # serving throughput: batches submitted back-to-back (async dispatch),
+    # results fetched at the end — overlaps the per-call dispatch/fetch
+    # latency with device execution, as a real server's request pipeline does
+    t0 = time.perf_counter()
+    handles = [searcher.search_tokens_device(q_ids, q_attn, q_active, **kw) for _ in range(n_iter)]
+    for ts, tp in handles:
+        np.asarray(ts), np.asarray(tp)
+    pipelined = (time.perf_counter() - t0) / n_iter
     # median: the tunnel-attached chip shows heavy run-to-run variance
-    return float(np.median(times)), res
+    return float(np.median(times)), float(pipelined), res
 
 
 def main():
@@ -169,6 +184,7 @@ def main():
             multiview=MultiviewConfig(enabled=True, q_view=q_view, d_view=d_view),
             tokenizer=TokenizerConfig(vocab_path="unused", query_maxlen=32, doc_maxlen=384),
             index=IndexConfig(codec=codec, pq_m=64 if tpu else 8, sq_dim=64 if tpu else 8,
+                              pq4_m=128 if tpu else 16,
                               kmeans_iters=10, pq_kmeans_iters=10),
             serve=ServeConfig(nprobe=nprobe, candidate_depth=depth, topk=topk,
                               max_candidates=4096 if tpu else 256),
@@ -177,7 +193,7 @@ def main():
 
     embs = make_synthetic_embeddings(num_docs, d_view, dim)
     mesh = make_mesh(-1, 1)
-    cfg_pq, cfg_sq = cfg_for("pq"), cfg_for("sq")
+    cfg_pq, cfg_sq, cfg_pq4 = cfg_for("pq"), cfg_for("sq"), cfg_for("pq4")
     model = ColbertModel(model_cfg, cfg_pq.multiview)
     Lq = cfg_pq.tokenizer.query_maxlen
     rng = np.random.default_rng(0)
@@ -194,11 +210,14 @@ def main():
 
     results = {}
     searchers = {}
-    for codec, cfg in (("sq", cfg_sq), ("pq", cfg_pq)):
+    for codec, cfg in (("sq", cfg_sq), ("pq4", cfg_pq4), ("pq", cfg_pq)):
         storage = build_synthetic_index(embs, num_docs, d_view, dim, cfg)
         searchers[codec] = ColbertSearcher(cfg, _Tok(), params, storage, mesh=mesh)
-        dt, res = bench_searcher(searchers[codec], q_ids, q_attn, q_active, topk, nprobe, depth, n_warm, n_iter)
-        results[codec] = {"qps": batch / dt, "p50_batch_ms": dt * 1e3, "pids": res.pids}
+        dt, dt_pipe, res = bench_searcher(searchers[codec], q_ids, q_attn, q_active, topk, nprobe, depth, n_warm, n_iter)
+        results[codec] = {
+            "qps": batch / dt_pipe, "p50_batch_ms": dt * 1e3,
+            "qps_sequential": batch / dt, "pids": res.pids,
+        }
 
     # candidate-quality: recall@topk vs exact MaxSim oracle
     oracle = exact_oracle_topk(searchers["pq"], q_ids, q_attn, q_active, topk)

@@ -151,13 +151,20 @@ class IndexConfig:
     ``faiss_indexers.py:279-286``)."""
 
     index_path: str = "index/colbert"
-    # candidate codec: "pq" (reference-parity IVF-PQ, 64 B/vector at
-    # defaults) or "sq" (TPU-first int8 projected codec, sq_dim B/vector —
-    # candidate scoring is an MXU matmul instead of a table gather)
+    # candidate codec:
+    #   "pq"  — reference-parity IVF-PQ (m=64 x 8-bit, 64 B/vector); ADC is
+    #           a table gather, slow on TPU — kept for strict parity;
+    #   "pq4" — fast-scan PQ (m=128 x 4-bit, 64 B/vector, faiss's
+    #           IndexIVFPQFastScan analogue): ADC as an MXU one-hot matmul
+    #           (ops/pq4.py) — the fast PQ family member on TPU;
+    #   "sq"  — TPU-first int8 projected codec (sq_dim B/vector): candidate
+    #           scoring is a plain int8 MXU matmul; best large-corpus scaling.
     codec: str = "pq"
     # PQ: m sub-quantizers x 2^nbits codes (64 B / token-vector at defaults)
     pq_m: int = 64
     pq_nbits: int = 8
+    # PQ4 fast-scan: m 4-bit sub-quantizers (m/2 B per vector)
+    pq4_m: int = 128
     # SQ: PCA projection width (bytes per vector)
     sq_dim: int = 64
     # IVF partitions; 0 = auto: 1 << round(log2(8 * sqrt(num_embeddings)))
@@ -165,6 +172,13 @@ class IndexConfig:
     # corpus encode
     encode_batch_size: int = 384
     num_parts: int = 12               # on-disk shards (reference: encoder.py:41)
+    # balanced assignment: cap each IVF list at
+    # ceil(mean_list_len * balance_factor) rows (points spill to their next-
+    # nearest centroid with free capacity).  0 = plain nearest-centroid
+    # assignment (faiss parity).  Shrinks max_list_len (p99 skew) toward the
+    # mean, which bounds probe-window padding and slot-count skew.
+    balance_factor: float = 0.0
+    balance_candidates: int = 8
     # k-means
     kmeans_iters: int = 20
     pq_kmeans_iters: int = 25
@@ -246,12 +260,18 @@ class ColbertConfig:
                 raise ValueError("q_view must fit in query_maxlen")
             if self.multiview.d_view > self.tokenizer.doc_maxlen:
                 raise ValueError("d_view must fit in doc_maxlen")
-        if self.index.codec not in ("pq", "sq"):
+        if self.index.codec not in ("pq", "pq4", "sq"):
             raise ValueError(f"unknown index codec: {self.index.codec}")
         if self.index.codec == "pq" and self.model.dim % self.index.pq_m != 0:
             raise ValueError(
                 f"PQ requires dim % m == 0, got dim={self.model.dim} m={self.index.pq_m}"
             )
+        if self.index.codec == "pq4":
+            if self.model.dim % self.index.pq4_m != 0 or self.index.pq4_m % 2 != 0:
+                raise ValueError(
+                    f"PQ4 requires even m dividing dim, got dim={self.model.dim} "
+                    f"m={self.index.pq4_m}"
+                )
         if self.index.codec == "sq" and self.index.sq_dim > self.model.dim:
             raise ValueError("sq_dim must be <= model dim")
 

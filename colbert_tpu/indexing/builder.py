@@ -70,6 +70,15 @@ class IndexBuilder:
                 )
                 codebooks.block_until_ready()
             code_width, code_dtype = c.pq_m, np.uint8
+        elif c.codec == "pq4":
+            from colbert_tpu.ops.pq4 import pq4_train
+
+            with self.timers.span("pq4_train"):
+                codebooks = pq4_train(
+                    jnp.asarray(sample), c.pq4_m, iters=c.pq_kmeans_iters, key=key, chunk=kc
+                )
+                codebooks.block_until_ready()
+            code_width, code_dtype = c.pq4_m // 2, np.int8
         else:
             from colbert_tpu.ops.sq import sq_train
 
@@ -79,6 +88,9 @@ class IndexBuilder:
             code_width, code_dtype = c.sq_dim, np.int8
 
         # --- assign + encode all parts ---
+        balanced = c.balance_factor > 0 and partitions > 1
+        kc = min(c.balance_candidates, partitions) if balanced else 1
+        cand_all = np.empty((num_embeddings, kc), np.int32) if balanced else None
         assignments = np.empty(num_embeddings, np.int32)
         codes = np.empty((num_embeddings, code_width), code_dtype)
         pos = 0
@@ -87,17 +99,42 @@ class IndexBuilder:
                 embs = np.asarray(self.storage.read_part(part)).astype(np.float32)
                 if embs.shape[0] == 0:
                     continue
-                a = assign_clusters(jnp.asarray(embs), centroids, chunk=chunk)
+                if balanced:
+                    from colbert_tpu.ops.kmeans import nearest_centroids
+
+                    cand_all[pos : pos + embs.shape[0]] = np.asarray(
+                        nearest_centroids(jnp.asarray(embs), centroids, kc, chunk=chunk)
+                    )
+                else:
+                    a = assign_clusters(jnp.asarray(embs), centroids, chunk=chunk)
+                    assignments[pos : pos + embs.shape[0]] = np.asarray(a)
                 if c.codec == "pq":
                     cc = pq_encode(jnp.asarray(embs), codebooks, chunk=chunk)
+                elif c.codec == "pq4":
+                    from colbert_tpu.ops.pq4 import pq4_encode_packed
+
+                    cc = pq4_encode_packed(jnp.asarray(embs), codebooks, chunk=chunk)
                 else:
                     from colbert_tpu.ops.sq import sq_encode
 
                     cc = sq_encode(jnp.asarray(embs), sq_proj, sq_scales, chunk=chunk)
-                assignments[pos : pos + embs.shape[0]] = np.asarray(a)
                 codes[pos : pos + embs.shape[0]] = np.asarray(cc)
                 pos += embs.shape[0]
         assert pos == num_embeddings
+        if balanced:
+            from colbert_tpu.native import balanced_assign
+
+            cap_rows = max(1, int(np.ceil(num_embeddings / partitions * c.balance_factor)))
+            with self.timers.span("balanced_assign"):
+                assignments = balanced_assign(cand_all, partitions, cap_rows)
+            lens0 = np.bincount(cand_all[:, 0], minlength=partitions)
+            lens1 = np.bincount(assignments, minlength=partitions)
+            logger.info(
+                "balanced assignment (cap=%d): list p50/p99/max %d/%d/%d -> %d/%d/%d",
+                cap_rows,
+                int(np.percentile(lens0, 50)), int(np.percentile(lens0, 99)), int(lens0.max()),
+                int(np.percentile(lens1, 50)), int(np.percentile(lens1, 99)), int(lens1.max()),
+            )
 
         # --- CSR pack + pid map (C++ counting sort; numpy fallback) ---
         from colbert_tpu.native import ivf_pack
@@ -121,7 +158,10 @@ class IndexBuilder:
                 "pq_m": c.pq_m,
                 "pq_nbits": c.pq_nbits,
                 "sq_dim": c.sq_dim,
-                "bytes_per_vector": c.pq_m * c.pq_nbits // 8 if c.codec == "pq" else c.sq_dim,
+                "pq4_m": c.pq4_m,
+                "bytes_per_vector": {
+                    "pq": c.pq_m * c.pq_nbits // 8, "pq4": c.pq4_m // 2, "sq": c.sq_dim,
+                }[c.codec],
                 "build_timers": self.timers.as_dict(),
             }
         )

@@ -5,6 +5,6 @@ entry point has a pure-numpy fallback so the framework works without a
 toolchain.  See ``ivf_pack.cpp`` for what lives here and why.
 """
 
-from colbert_tpu.native.lib import ivf_pack, compact_active, native_available
+from colbert_tpu.native.lib import balanced_assign, compact_active, ivf_pack, native_available
 
-__all__ = ["ivf_pack", "compact_active", "native_available"]
+__all__ = ["balanced_assign", "compact_active", "ivf_pack", "native_available"]

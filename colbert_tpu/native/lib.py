@@ -37,6 +37,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(str(_SO))
             lib.ivf_pack.restype = ctypes.c_int
             lib.compact_active.restype = ctypes.c_int
+            lib.balanced_assign.restype = ctypes.c_int
             _lib = lib
         except (OSError, subprocess.CalledProcessError) as e:
             logger.warning("native build unavailable, using numpy fallbacks: %s", e)
@@ -103,3 +104,39 @@ def compact_active(embs_f16: np.ndarray, active: np.ndarray) -> Tuple[np.ndarray
     if rc != 0:
         raise ValueError(f"compact_active failed: {rc}")
     return flat, doclens
+
+
+def balanced_assign(candidates: np.ndarray, num_lists: int, cap: int) -> np.ndarray:
+    """Capacity-constrained assignment from per-point nearest-centroid
+    candidates (N, kc), best first.  C++ greedy; numpy loop fallback."""
+    candidates = np.ascontiguousarray(candidates, np.int32)
+    n, kc = candidates.shape
+    out = np.empty(n, np.int32)
+    lib = _load()
+    if lib is None:
+        fill = np.zeros(num_lists, np.int64)
+        spill = []
+        for i in range(n):
+            for a in candidates[i]:
+                if 0 <= a < num_lists and fill[a] < cap:
+                    out[i] = a
+                    fill[a] += 1
+                    break
+            else:
+                spill.append(i)
+        for i in spill:
+            a = int(np.argmin(fill))
+            out[i] = a
+            fill[a] += 1
+        return out
+    rc = lib.balanced_assign(
+        candidates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n),
+        ctypes.c_int32(kc),
+        ctypes.c_int32(num_lists),
+        ctypes.c_int32(cap),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise ValueError(f"balanced_assign failed: {rc}")
+    return out

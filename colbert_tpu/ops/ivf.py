@@ -224,7 +224,7 @@ def ivf_probe_sq(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nprobe", "depth", "maxb", "tpl", "r", "approx_topk", "interpret"),
+    static_argnames=("nprobe", "depth", "maxb", "tpl", "r", "approx_topk", "interpret", "stop"),
 )
 def ivf_probe_sq_batched(
     q_tokens: jax.Array,          # (T, d) query token embeddings
@@ -241,6 +241,7 @@ def ivf_probe_sq_batched(
     r: int = 2,
     approx_topk: bool = False,
     interpret: bool | None = None,
+    stop: str | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """List-major batched SQ probe: same contract as :func:`ivf_probe_sq`,
     but each probed list is scanned ONCE for the whole token batch instead of
@@ -252,9 +253,8 @@ def ivf_probe_sq_batched(
     only affects code padding."""
     from colbert_tpu.ops.sq import sq_query
     from colbert_tpu.ops.sq_probe_batched import (
-        build_slot_schedule,
+        build_slot_schedule_dense,
         probe_batched_postprocess,
-        slot_capacity,
         sq_batch_list_scan,
     )
     from colbert_tpu.ops.sq_probe_pallas import pad_codes_for_scan
@@ -268,13 +268,23 @@ def ivf_probe_sq_batched(
     # coarse list selection: approx_max_k is ~2x top_k on TPU and recall-safe
     # here (a slightly different probe set, still re-ranked exactly)
     if approx_topk and jax.default_backend() not in ("cpu",) and nprobe < K:
-        _, lists = jax.lax.approx_max_k(coarse, nprobe)
+        vals, lists = jax.lax.approx_max_k(coarse, nprobe)
     else:
-        _, lists = jax.lax.top_k(coarse, nprobe)  # (T, nprobe)
+        vals, lists = jax.lax.top_k(coarse, nprobe)  # (T, nprobe)
+    thr = vals[:, -1]
 
-    sched = build_slot_schedule(
-        lists, offsets, tpl=tpl, s_cap=slot_capacity(T * nprobe, K, tpl), pack=pack
+    def dummy(a, b):  # timing-bisection outputs with real data dependencies
+        s = jnp.resize(a.astype(jnp.float32).reshape(-1), (T * depth,)).reshape(T, depth)
+        rr = jnp.resize(b.astype(jnp.int32).reshape(-1), (T * depth,)).reshape(T, depth)
+        return s, rr
+
+    if stop == "coarse":
+        return dummy(coarse[:, :nprobe], lists)
+    sched, pair_valid = build_slot_schedule_dense(
+        coarse, thr, lists, offsets, tpl=tpl, pack=pack
     )
+    if stop == "sched":
+        return dummy(sched.slot_of_pair, sched.pos_of_pair + sched.qidx.reshape(-1)[:1])
     t_pad = ((T + 127) // 128) * 128
     qs = sq_query(q_tokens, proj, scales)     # (T, sq_dim)
     qsT = jnp.pad(qs, ((0, t_pad - T), (0, 0))).T
@@ -283,8 +293,10 @@ def ivf_probe_sq_batched(
         sched.qidx, sched.meta, qsT, codes_padded, tpl=tpl, r=r,
         interpret=interpret,
     )
+    if stop == "kernel":
+        return dummy(out_s, out_r)
     scores, rows = probe_batched_postprocess(
-        sched, out_s, out_r, T, nprobe, depth, approx_topk
+        sched, out_s, out_r, T, nprobe, depth, approx_topk, pair_valid=pair_valid
     )
     # clamp: padded tail rows can never win (scores -inf outside [lo, hi)),
     # but keep row ids in-range for downstream gathers

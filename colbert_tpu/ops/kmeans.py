@@ -46,6 +46,23 @@ def assign_clusters(points: jax.Array, centroids: jax.Array, chunk: int = 16384)
     return out.reshape(-1)[:n]
 
 
+def nearest_centroids(points: jax.Array, centroids: jax.Array, kc: int, chunk: int = 16384) -> jax.Array:
+    """Top-``kc`` nearest centroid ids per point (best first), chunked —
+    the device half of balanced assignment (host greedy fill is in
+    ``colbert_tpu.native.balanced_assign``)."""
+    n = points.shape[0]
+    points_p, _ = _pad_points(points, chunk)
+    c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=-1)
+
+    def body(chunk_pts):
+        dots = jnp.dot(chunk_pts, centroids.T, preferred_element_type=jnp.float32)
+        _, idx = jax.lax.top_k(2.0 * dots - c_sq[None, :], kc)
+        return idx.astype(jnp.int32)
+
+    out = jax.lax.map(body, points_p.reshape(-1, chunk, points.shape[1]))
+    return out.reshape(-1, kc)[:n]
+
+
 def kmeans_plusplus_init(points: jax.Array, k: int, key: jax.Array) -> jax.Array:
     """k-means++ (D^2) seeding, fully jittable.
 
@@ -71,7 +88,7 @@ def kmeans_plusplus_init(points: jax.Array, k: int, key: jax.Array) -> jax.Array
     return jnp.concatenate([first[None], rest], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "iters", "chunk", "init"))
 def kmeans(
     points: jax.Array,
     k: int,
@@ -79,9 +96,15 @@ def kmeans(
     iters: int = 20,
     key: Optional[jax.Array] = None,
     chunk: int = 16384,
+    init: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Lloyd k-means with k-means++ seeding.
-    Returns (centroids (k,d) fp32, final assignment (N,) int32)."""
+    """Lloyd k-means.  Returns (centroids (k,d) fp32, assignment (N,) int32).
+
+    ``init``: "kmeans++" (D^2 seeding — k SEQUENTIAL scan steps, minutes at
+    k=4096), "random" (distinct random points, what faiss uses), or "auto"
+    (k-means++ below 1024 clusters where seeding quality matters most,
+    random above where Lloyd iterations wash the seeding out and the
+    sequential scan would dominate build time)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     n, d = points.shape
@@ -91,7 +114,13 @@ def kmeans(
     pts = points_p.reshape(n_chunks, chunk, d)
     vmask = valid.reshape(n_chunks, chunk)
 
-    centroids0 = kmeans_plusplus_init(points, k, key)
+    if init == "auto":
+        init = "kmeans++" if k <= 1024 else "random"
+    if init == "random":
+        idx = jax.random.choice(key, n, shape=(k,), replace=n < k)
+        centroids0 = points[idx]
+    else:
+        centroids0 = kmeans_plusplus_init(points, k, key)
 
     def lloyd_iter(centroids, _):
         c_sq = jnp.sum(centroids**2, axis=-1)

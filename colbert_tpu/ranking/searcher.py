@@ -72,7 +72,8 @@ def _meta_d_view(meta: dict, cfg: ColbertConfig) -> int:
 
 
 def make_probe_fn(codec, coarse, quant, codes, offsets, *, nprobe: int, cap: int, depth: int,
-                  approx_topk: bool = False, probe_impl: str = "auto", list_topr: int = 8):
+                  approx_topk: bool = False, probe_impl: str = "auto", list_topr: int = 8,
+                  probe_stop: Optional[str] = None):
     """Codec-dispatched candidate generator closure for :func:`retrieval_core`.
 
     ``quant``: PQ codebooks (codec="pq") or an (sq_proj, sq_scales) tuple
@@ -83,13 +84,22 @@ def make_probe_fn(codec, coarse, quant, codes, offsets, *, nprobe: int, cap: int
             nprobe=nprobe, cap=cap, depth=depth, token_chunk=min(32, tokens.shape[0]),
             approx_topk=approx_topk,
         )
+    if codec == "pq4":
+        from colbert_tpu.ops.pq4 import ivf_probe_pq4
+
+        codebooks, meta, codes2, row_of, nonempty = quant
+        return lambda tokens: ivf_probe_pq4(
+            tokens, coarse, codebooks, meta, codes2, row_of, nonempty,
+            nprobe=nprobe, depth=depth, r=list_topr,
+            num_lists=int(nonempty.shape[0]), approx_topk=approx_topk,
+        )
     proj, scales = quant
     if probe_impl in ("auto", "batched"):
         maxb = (cap + 31 + 127) // 128
         return lambda tokens: ivf_probe_sq_batched(
             tokens, coarse, proj, scales, codes, offsets,
             nprobe=nprobe, depth=depth, maxb=maxb, r=list_topr,
-            approx_topk=approx_topk,
+            approx_topk=approx_topk, stop=probe_stop,
         )
     return lambda tokens: ivf_probe_sq(
         tokens, coarse, proj, scales, codes, offsets,
@@ -102,8 +112,7 @@ def retrieval_core(
     Qm: jax.Array,        # (B, qv, dim) masked query reps
     qm: jax.Array,        # (B, qv) active mask
     probe_fn,             # (T, dim) tokens -> (scores (T, depth), rows (T, depth))
-    row_emb: jax.Array,
-    emb2pid: jax.Array,
+    pid_by_row: jax.Array,  # (N,) int32: CSR row -> pid (emb2pid[row_emb], precomputed)
     emb_table: jax.Array,
     doc_offsets: jax.Array,
     doclens: jax.Array,
@@ -118,6 +127,7 @@ def retrieval_core(
     rerank_kernel: str = "xla",
     emb_inv_scale: Optional[jax.Array] = None,
     packed_int8: bool = False,
+    stop_stage: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Everything after query encode: probe -> candidate scores -> dedup ->
     gather -> exact MaxSim -> local top-k.  Pure function of device arrays
@@ -140,14 +150,15 @@ def retrieval_core(
 
     tokens = Qm.reshape(B * q_view, -1)
     adc_scores, rows = probe_fn(tokens)  # (B*qv, depth)
-    emb_ids = jnp.where(rows >= 0, row_emb[jnp.maximum(rows, 0)], -1)
-    pids = jnp.where(emb_ids >= 0, emb2pid[jnp.maximum(emb_ids, 0)], -1)
+    pids = jnp.where(rows >= 0, pid_by_row[jnp.maximum(rows, 0)], -1)
     # dead query tokens (masked) contribute nothing
     token_valid = qm.reshape(B * q_view) > 0
     pids = jnp.where(token_valid[:, None], pids, -1)
     adc_scores = jnp.where(token_valid[:, None], adc_scores, -jnp.inf)
     pids = pids.reshape(B, q_view * depth)
     adc_scores = adc_scores.reshape(B, q_view * depth)
+    if stop_stage is not None and stop_stage.startswith("probe"):  # timing only
+        return adc_scores[:, :topk], pids[:, :topk]
 
     num_docs = doclens.shape[0]
     dim = Qm.shape[-1]
@@ -180,7 +191,9 @@ def retrieval_core(
 
     def query_chunk_body(inp):
         p, s, q, qmask = inp  # (qc, qv*depth), ..., (qc, qv, dim), (qc, qv)
-        cand, _ = jax.vmap(dedup)(p, s)
+        cand, cand_s = jax.vmap(dedup)(p, s)
+        if stop_stage == "dedup":  # timing attribution only
+            return cand_s[:, :topk], cand[:, :topk]
         # (measured: pid-sorting candidates before the gather does NOT help —
         # 137.5 vs 130.4 ms/batch; XLA's doc-row gather is insensitive to
         # index order at this scale)
@@ -289,17 +302,34 @@ class ColbertSearcher:
         # device-resident index state
         self.codec = meta.get("codec", "pq" if "codebooks" in ivf else "sq")
         self.coarse = jnp.asarray(ivf["coarse_centroids"], jnp.float32)
-        if self.codec == "pq":
+        self.codebooks = self.sq_proj = self.sq_scales = self.pq4_blocks = None
+        if self.codec in ("pq", "pq4"):
             self.codebooks = jnp.asarray(ivf["codebooks"], jnp.float32)
-            self.sq_proj = self.sq_scales = None
         else:
-            self.codebooks = None
             self.sq_proj = jnp.asarray(ivf["sq_proj"], jnp.float32)
             self.sq_scales = jnp.asarray(ivf["sq_scales"], jnp.float32)
+        if self.codec == "pq4":
+            from colbert_tpu.ops.pq4 import build_pq4_blocks, pq4_meta
+
+            blocks = build_pq4_blocks(
+                np.ascontiguousarray(ivf["codes"], np.int8), np.asarray(ivf["offsets"])
+            )
+            self.pq4_blocks = {
+                "meta": jnp.asarray(pq4_meta(blocks)),
+                "codes2": jnp.asarray(blocks.codes2),
+                "row_of_padded": jnp.asarray(blocks.row_of_padded),
+                "list_nonempty": jnp.asarray(
+                    (ivf["offsets"][1:] > ivf["offsets"][:-1]).astype(np.int32)
+                ),
+            }
         self.codes = jnp.asarray(ivf["codes"])
         self.row_emb = jnp.asarray(ivf["row_emb"], jnp.int32)
         self.offsets = jnp.asarray(ivf["offsets"], jnp.int32)
         self.emb2pid = jnp.asarray(ivf["emb2pid"], jnp.int32)
+        # fused CSR-row -> pid map (one gather on the hot path instead of two)
+        self.pid_by_row = jnp.asarray(
+            np.asarray(ivf["emb2pid"])[np.asarray(ivf["row_emb"], np.int64)], jnp.int32
+        )
         self.doc_offsets = jnp.asarray(IndexStorage.doc_offsets_from_doclens(doclens.tolist()), jnp.int32)
         self.doclens = jnp.asarray(doclens, jnp.int32)
 
@@ -344,32 +374,47 @@ class ColbertSearcher:
 
         packed_int8 = self.packed_int8
 
-        def fn(params, coarse, quant, codes, offsets, row_emb, emb2pid,
+        stop_stage = getattr(self, "debug_stop_stage", None)
+
+        def fn(params, coarse, quant, codes, offsets, pid_by_row,
                emb_table, emb_inv_scale, doc_offsets, doclens, q_ids, q_attn, q_active):
             Q = model.apply({"params": params}, q_ids, q_attn, method=model.query)  # (B, qv, dim)
             qm = q_active.astype(Q.dtype)
             Qm = Q * qm[..., None]
+            if stop_stage == "encode":  # timing attribution only
+                return Qm[:, :, 0], (q_active[:, :1] * 0 - 1)
+            probe_stop = (
+                stop_stage.split(":", 1)[1]
+                if stop_stage and stop_stage.startswith("probe:") else None
+            )
             probe_fn = make_probe_fn(
                 codec, coarse, quant, codes, offsets, nprobe=nprobe, cap=cap, depth=depth,
                 approx_topk=self.cfg.serve.approx_probe_topk,
                 probe_impl=self.cfg.serve.probe_impl,
                 list_topr=self.cfg.serve.probe_list_topr,
+                probe_stop=probe_stop,
             )
             return retrieval_core(
-                Qm, qm, probe_fn, row_emb, emb2pid,
+                Qm, qm, probe_fn, pid_by_row,
                 emb_table, doc_offsets, doclens,
                 depth=depth, max_cand=max_cand,
                 rerank_cap=rerank_cap, topk=topk, query_chunk=query_chunk,
                 uniform_doclen=uniform, candidate_ranking=ranking,
                 rerank_kernel=self.cfg.serve.rerank_kernel,
                 emb_inv_scale=emb_inv_scale, packed_int8=packed_int8,
+                stop_stage=stop_stage,
             )
 
         return jax.jit(fn)
 
     @property
     def _quant(self):
-        return self.codebooks if self.codec == "pq" else (self.sq_proj, self.sq_scales)
+        if self.codec == "pq":
+            return self.codebooks
+        if self.codec == "pq4":
+            b = self.pq4_blocks
+            return (self.codebooks, b["meta"], b["codes2"], b["row_of_padded"], b["list_nonempty"])
+        return (self.sq_proj, self.sq_scales)
 
     # ---- public API ----
 
@@ -413,10 +458,33 @@ class ColbertSearcher:
         with self.timers.span("search"):
             ts, tp = fn(
                 self.params, self.coarse, self._quant, self.codes, self.offsets,
-                self.row_emb, self.emb2pid, self.emb_table, inv, self.doc_offsets, self.doclens,
+                self.pid_by_row, self.emb_table, inv, self.doc_offsets, self.doclens,
                 jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active),
             )
         return SearchResult(np.asarray(tp), np.asarray(ts))
+
+    def search_tokens_device(self, q_ids, q_attn, q_active, topk=None, nprobe=None,
+                             depth=None, query_chunk: int = 8):
+        """Like :meth:`search_tokens` but returns DEVICE arrays (scores,
+        pids) without synchronizing — the async serving path: submitting the
+        next batch before fetching the previous one overlaps the per-call
+        dispatch/transfer latency with device execution (the reference's
+        serving loop is fully synchronous per batch,
+        ``dense_server_client.py:39-49``)."""
+        s = self.cfg.serve
+        topk = topk or s.topk
+        nprobe = min(nprobe or s.nprobe, int(self.coarse.shape[0]))
+        depth = depth or s.candidate_depth
+        key = (topk, nprobe, depth, self.max_list_len,
+               min(s.max_candidates, self.num_docs), query_chunk)
+        if key not in self._search_fns:
+            self._search_fns[key] = self._make_search_fn(*key)
+        inv = self.emb_inv_scale if self.emb_inv_scale is not None else jnp.ones((1,), jnp.float32)
+        return self._search_fns[key](
+            self.params, self.coarse, self._quant, self.codes, self.offsets,
+            self.pid_by_row, self.emb_table, inv, self.doc_offsets, self.doclens,
+            jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active),
+        )
 
     def search_brute_force(self, questions: Sequence[str], topk: int) -> SearchResult:
         """Exact MaxSim over the WHOLE corpus (no ANN) — the recall oracle

@@ -66,7 +66,8 @@ def shard_index(storage: IndexStorage, n_shards: int) -> Dict[str, np.ndarray]:
     doc_off_all = IndexStorage.doc_offsets_from_doclens(doclens.tolist())
 
     shards: Dict[str, list] = {k: [] for k in (
-        "codes", "row_emb", "offsets", "emb2pid", "emb_table", "doc_offsets", "doclens", "pid_base", "num_docs"
+        "codes", "row_emb", "offsets", "emb2pid", "pid_by_row", "emb_table",
+        "doc_offsets", "doclens", "pid_base", "num_docs"
     )}
     bounds = [local_shard_bounds(num_docs, s, n_shards) for s in range(n_shards)]
     max_docs = max(hi - lo for lo, hi in bounds)
@@ -80,7 +81,9 @@ def shard_index(storage: IndexStorage, n_shards: int) -> Dict[str, np.ndarray]:
         shards["codes"].append(_pad_rows(c[perm], max_embs))
         shards["row_emb"].append(_pad_rows(perm.astype(np.int32), max_embs, fill=-1))
         shards["offsets"].append(offsets)
-        shards["emb2pid"].append(_pad_rows((emb2pid[e_lo:e_hi] - lo).astype(np.int32), max_embs, fill=-1))
+        e2p_local = (emb2pid[e_lo:e_hi] - lo).astype(np.int32)
+        shards["emb2pid"].append(_pad_rows(e2p_local, max_embs, fill=-1))
+        shards["pid_by_row"].append(_pad_rows(e2p_local[perm], max_embs, fill=-1))
         shards["emb_table"].append(_pad_rows(emb_all[e_lo:e_hi], max_embs))
         dl = doclens[lo:hi].astype(np.int32)
         shards["doclens"].append(_pad_rows(dl, max_docs))
@@ -114,12 +117,18 @@ class ShardedColbertSearcher:
 
         meta = storage.read_meta()
         ivf = storage.read_ivf()
+        if meta.get("codec") == "pq4":
+            raise ValueError(
+                "the pq4 codec's dense block scan is single-chip only (cost "
+                "grows with corpus x tokens); use codec='sq' for sharded serving"
+            )
         sh = shard_index(storage, self.n_shards)
         shard0 = NamedSharding(self.mesh, P(AXES.data))
         put = lambda a, dt=None: jax.device_put(jnp.asarray(a, dt), shard0)
         self.arrays = {
             "codes": put(sh["codes"]),
             "row_emb": put(sh["row_emb"], jnp.int32),
+            "pid_by_row": put(sh["pid_by_row"], jnp.int32),
             "offsets": put(sh["offsets"], jnp.int32),
             "emb2pid": put(sh["emb2pid"], jnp.int32),
             "emb_table": put(sh["emb_table"].astype(np.float32), rerank_dtype),
@@ -162,7 +171,7 @@ class ShardedColbertSearcher:
         uniform = self.uniform_doclen
         k_local = min(topk, max_cand)
 
-        def local(coarse, quant, codes, row_emb, offsets, emb2pid,
+        def local(coarse, quant, codes, pid_by_row, offsets,
                   emb_table, doc_offsets, doclens, pid_base, Qm, qm):
             # shard_map gives blocks with the leading shard axis of size 1
             sq = lambda a: a[0]
@@ -174,8 +183,8 @@ class ShardedColbertSearcher:
                 list_topr=self.cfg.serve.probe_list_topr,
             )
             ts, tp = retrieval_core(
-                Qm, qm, probe_fn, sq(row_emb),
-                sq(emb2pid), sq(emb_table), sq(doc_offsets), sq(doclens),
+                Qm, qm, probe_fn, sq(pid_by_row),
+                sq(emb_table), sq(doc_offsets), sq(doclens),
                 depth=depth, max_cand=max_cand,
                 rerank_cap=rerank_cap, topk=k_local, query_chunk=query_chunk,
                 uniform_doclen=uniform,
@@ -196,7 +205,7 @@ class ShardedColbertSearcher:
             mesh=mesh,
             in_specs=(
                 P(), quant_spec,                # coarse + quantizer (replicated)
-                P(data), P(data), P(data), P(data), P(data), P(data), P(data), P(data),
+                P(data), P(data), P(data), P(data), P(data), P(data), P(data),
                 P(), P(),                       # Qm, qm replicated
             ),
             out_specs=(P(), P()),
@@ -213,8 +222,8 @@ class ShardedColbertSearcher:
             Qm = Q * qm[..., None]
             a = arrays
             return sharded(
-                coarse, quant, a["codes"], a["row_emb"], a["offsets"],
-                a["emb2pid"], a["emb_table"], a["doc_offsets"], a["doclens"], a["pid_base"],
+                coarse, quant, a["codes"], a["pid_by_row"], a["offsets"],
+                a["emb_table"], a["doc_offsets"], a["doclens"], a["pid_base"],
                 Qm, qm,
             )
 

@@ -28,7 +28,7 @@ import numpy as np
 from colbert_tpu.config import ColbertConfig
 from colbert_tpu.models import ColbertModel
 from colbert_tpu.models.sharding import param_shardings
-from colbert_tpu.ops.maxsim import maxsim_xla
+from colbert_tpu.ops.maxsim import maxsim, maxsim_xla
 from colbert_tpu.parallel.mesh import batch_sharding, make_mesh, put_global
 from colbert_tpu.tokenization import ColbertTokenizer
 from colbert_tpu.training.checkpoint import CheckpointManager
@@ -150,11 +150,16 @@ class ColbertTrainer:
         model = self.model
         group = self.cfg.train.eval_num_positives + self.cfg.train.eval_num_negatives
         num_pos = self.cfg.train.eval_num_positives
+        # fused Pallas MaxSim only on a single-device mesh: a pallas_call
+        # does not SPMD-partition over a sharded batch; the XLA einsum does
+        use_pallas = self.mesh.size == 1 and jax.default_backend() not in ("cpu", "gpu")
 
         def step(params, q_ids, q_attn, q_active, d_ids, d_attn, d_active, q_valid):
             Q = model.apply({"params": params}, q_ids, q_attn, method=model.query)
             D = model.apply({"params": params}, d_ids, d_attn, method=model.doc)
-            scores = maxsim_xla(Q, D, q_active, d_active)
+            # all-pairs scoring: the fused Pallas MaxSim on TPU (no (q,d,m,n)
+            # HBM intermediate), XLA einsum elsewhere / for training (autodiff)
+            scores = maxsim(Q, D, q_active, d_active, use_pallas=use_pallas)
             # pad rows (dev set smaller than the fixed global batch): their
             # doc columns must not perturb real queries' rankings
             doc_valid = jnp.repeat(q_valid, group)

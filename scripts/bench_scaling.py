@@ -1,0 +1,135 @@
+"""Corpus-size scaling curve: QPS / recall / HBM per corpus size.
+
+VERDICT items 2+9: a bench datapoint at >=10x the round-1 corpus with the
+int8 table (the beyond-HBM mode), and a scaling table for BENCHLOG.
+
+Per size: build (cached) sq index, measure sequential latency + pipelined
+throughput + recall@100 vs the exact oracle (oracle only at sizes where the
+brute force fits), report index + table HBM bytes.
+
+Usage: python scripts/bench_scaling.py [--sizes 20000,100000,200000] [--iters 7]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/colbert_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="20000,100000,200000")
+    ap.add_argument("--iters", type=int, default=7)
+    ap.add_argument("--batch", type=int, default=144)
+    ap.add_argument("--rerank-dtype", default="int8")
+    ap.add_argument("--oracle-max-docs", type=int, default=120000)
+    ap.add_argument("--balance-factor", type=float, default=0.0)
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    import sys
+    sys.path.insert(0, ".")
+    from bench import build_synthetic_index, exact_oracle_topk, make_synthetic_embeddings
+    from colbert_tpu.config import (
+        ColbertConfig, IndexConfig, MeshConfig, ModelConfig, MultiviewConfig,
+        ServeConfig, TokenizerConfig,
+    )
+    from colbert_tpu.models import ColbertModel
+    from colbert_tpu.parallel import make_mesh
+    from colbert_tpu.ranking.searcher import ColbertSearcher
+
+    d_view = q_view = 16
+    dim, nprobe, depth, topk = 768, 128, 512, 100
+    model_cfg = ModelConfig(dtype="bfloat16")
+    mesh = make_mesh(-1, 1)
+    model = ColbertModel(model_cfg, MultiviewConfig(enabled=True, q_view=q_view, d_view=d_view))
+    rng = np.random.default_rng(0)
+    q_ids = rng.integers(0, model_cfg.vocab_size, (args.batch, 32)).astype(np.int32)
+    q_attn = np.ones((args.batch, 32), np.int32)
+    q_active = np.ones((args.batch, q_view), np.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(q_ids), jnp.asarray(q_attn),
+        jnp.zeros((1, 384), jnp.int32), jnp.ones((1, 384), jnp.int32),
+    )["params"]
+
+    class _Tok:
+        pass
+
+    rows = []
+    for num_docs in sizes:
+        cfg = ColbertConfig(
+            model=model_cfg,
+            multiview=MultiviewConfig(enabled=True, q_view=q_view, d_view=d_view),
+            tokenizer=TokenizerConfig(vocab_path="unused", query_maxlen=32, doc_maxlen=384),
+            index=IndexConfig(codec="sq", sq_dim=64, kmeans_iters=10,
+                              balance_factor=args.balance_factor),
+            serve=ServeConfig(nprobe=nprobe, candidate_depth=depth, topk=topk,
+                              max_candidates=4096, rerank_dtype=args.rerank_dtype),
+            mesh=MeshConfig(data=-1, model=1),
+        )
+        t0 = time.time()
+        embs = make_synthetic_embeddings(num_docs, d_view, dim)
+        storage = build_synthetic_index(embs, num_docs, d_view, dim, cfg)
+        print(f"[{num_docs}] index ready in {time.time()-t0:.0f}s", flush=True)
+        searcher = ColbertSearcher(cfg, _Tok(), params, storage, mesh=mesh)
+        ivf = storage.read_ivf()
+        lens = ivf["offsets"][1:] - ivf["offsets"][:-1]
+        bytes_codes = int(ivf["codes"].nbytes)
+        bytes_table = int(np.asarray(searcher.emb_table).nbytes)
+
+        kw = dict(topk=topk, nprobe=nprobe, depth=depth, query_chunk=8)
+        res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)  # compile
+        res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
+        lat = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
+            lat.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        handles = [searcher.search_tokens_device(q_ids, q_attn, q_active, **kw)
+                   for _ in range(args.iters)]
+        for ts, tp in handles:
+            np.asarray(ts), np.asarray(tp)
+        pipe = (time.perf_counter() - t0) / args.iters
+
+        recall = float("nan")
+        if num_docs <= args.oracle_max_docs:
+            oracle = exact_oracle_topk(searcher, q_ids, q_attn, q_active, topk)
+            recall = float(np.mean([
+                len(set(res.pids[i]) & set(oracle[i])) / topk for i in range(args.batch)
+            ]))
+        row = {
+            "docs": num_docs, "vectors": num_docs * d_view,
+            "p50_ms": round(float(np.median(lat)) * 1e3, 1),
+            "qps_seq": round(args.batch / float(np.median(lat)), 1),
+            "qps_pipelined": round(args.batch / pipe, 1),
+            "recall@100": round(recall, 3) if np.isfinite(recall) else None,
+            "codes_MB": round(bytes_codes / 1e6, 1),
+            "table_MB": round(bytes_table / 1e6, 1),
+            "list_len_p50": int(np.percentile(lens, 50)),
+            "list_len_p99": int(np.percentile(lens, 99)),
+            "list_len_max": int(lens.max()),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        del searcher
+
+    print("\n| docs | vectors | p50 ms | QPS seq | QPS pipelined | recall@100 | codes MB | table MB | list p50/p99/max |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['docs']} | {r['vectors']} | {r['p50_ms']} | {r['qps_seq']} | "
+              f"{r['qps_pipelined']} | {r['recall@100']} | {r['codes_MB']} | {r['table_MB']} | "
+              f"{r['list_len_p50']}/{r['list_len_p99']}/{r['list_len_max']} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -197,3 +197,59 @@ def test_dedup_by_approx_maxsim():
     assert got[7] == pytest.approx(0.2)
     # approx-maxsim ordering: doc 5 ranks first
     assert int(out_pids[0]) == 5
+
+
+class TestBalancedAssign:
+    def test_native_caps_lists(self):
+        import numpy as np
+
+        from colbert_tpu.native import balanced_assign
+
+        rng = np.random.default_rng(0)
+        n, k, kc, cap = 500, 10, 4, 60
+        # skewed candidates: everyone prefers list 0
+        cand = np.concatenate(
+            [np.zeros((n, 1), np.int32), rng.integers(1, k, (n, kc - 1)).astype(np.int32)], axis=1
+        )
+        out = balanced_assign(cand, k, cap)
+        counts = np.bincount(out, minlength=k)
+        assert counts.max() <= cap
+        assert counts.sum() == n
+        assert counts[0] == cap  # the hot list fills exactly to capacity
+
+    def test_builder_balances(self, tmp_path):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from colbert_tpu.config import ColbertConfig, IndexConfig, MultiviewConfig
+        from colbert_tpu.indexing import IndexBuilder, IndexStorage
+
+        rng = np.random.default_rng(1)
+        num_docs, d_view, dim = 64, 4, 32
+        # clustered embeddings: unbalanced natural assignment
+        centers = rng.normal(size=(4, dim)).astype(np.float32)
+        embs = (centers[rng.choice(4, num_docs * d_view, p=[0.7, 0.1, 0.1, 0.1])]
+                + 0.05 * rng.normal(size=(num_docs * d_view, dim)).astype(np.float32))
+        embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+
+        def build(factor, path):
+            cfg = ColbertConfig(
+                multiview=MultiviewConfig(enabled=True, q_view=4, d_view=d_view),
+                index=IndexConfig(codec="sq", sq_dim=8, partitions=16, kmeans_iters=4,
+                                  balance_factor=factor),
+            )
+            cfg.model.dim = dim
+            storage = IndexStorage(str(path))
+            storage.write_part(0, embs.astype(np.float16), [d_view] * num_docs)
+            storage.write_meta({"dim": dim, "num_docs": num_docs,
+                                "num_embeddings": num_docs * d_view, "multiview": True,
+                                "d_view": d_view, "num_parts": 1, "embedding_dtype": "float16"})
+            IndexBuilder(cfg, storage).build(chunk=256)
+            ivf = storage.read_ivf()
+            lens = ivf["offsets"][1:] - ivf["offsets"][:-1]
+            return int(lens.max())
+
+        unbal = build(0.0, tmp_path / "u")
+        bal = build(1.25, tmp_path / "b")
+        cap = int(np.ceil(num_docs * d_view / 16 * 1.25))
+        assert bal <= cap < unbal
