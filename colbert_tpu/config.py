@@ -214,6 +214,11 @@ class ServeConfig:
     # batched probe: rows kept per (token, probed list) before the per-token
     # top-depth.  Candidates per token = nprobe * probe_list_topr.
     probe_list_topr: int = 8
+    # batched probe: the N most-probed lists are scanned densely against all
+    # tokens (probe popularity is heavily skewed; a list over the slot
+    # capacity would otherwise truncate pairs).  Must exceed the number of
+    # lists probed by >1024 tokens of a batch (46 at the bench point).
+    probe_hot_lists: int = 64
     # exact re-rank backend: "pallas" (fused DMA-streamed gather+MaxSim
     # kernel; measured 253 -> 306 QPS on v5e at identical recall) or "xla"
     # (gather + einsum).  pallas applies to uniform-doclen corpora with

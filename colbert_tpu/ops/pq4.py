@@ -111,13 +111,15 @@ def build_pq4_blocks(codes_packed: np.ndarray, offsets: np.ndarray) -> Pq4Blocks
 
 
 def pq4_meta(blocks: Pq4Blocks) -> np.ndarray:
-    """Per-block scalar-prefetch rows [list, valid_rows, is_first, padded_base]."""
+    """FLAT per-block scalar-prefetch values
+    [list, valid_rows, is_first, padded_base] * n_blocks.  1-D: a 2-D
+    (n, 4) SMEM array lane-pads 4 -> 128 and overflows the 1 MB SMEM."""
     n = blocks.block_list.shape[0]
     return np.stack(
         [blocks.block_list, blocks.block_hi, blocks.block_first,
          np.arange(n, dtype=np.int32) * BLOCK_ROWS],
         axis=1,
-    ).astype(np.int32)
+    ).astype(np.int32).reshape(-1)
 
 
 def _kernel(meta_ref, member_ref, buf_ref, expand_ref, vpat_ref, le_ref, lo_ref,
@@ -129,7 +131,9 @@ def _kernel(meta_ref, member_ref, buf_ref, expand_ref, vpat_ref, le_ref, lo_ref,
     b32 = buf_ref[:].astype(jnp.int32)                  # (rows_p, LANES)
     nlo = (b32 & 15).astype(jnp.float32)
     nhi = ((b32 >> 4) & 15).astype(jnp.float32)
-    mem = member_ref[:] > 0                             # (1, t_pad)
+    # int8 vector compares miscompile in Mosaic ("target does not support
+    # this comparison"); widen first
+    mem = member_ref[0].astype(jnp.int32) > 0           # (1, t_pad)
 
     vpat = vpat_ref[:]                                  # (1, bpr*KSUB) iota%16
     big = jnp.int32(1 << 30)
@@ -193,8 +197,8 @@ def _kernel(meta_ref, member_ref, buf_ref, expand_ref, vpat_ref, le_ref, lo_ref,
 
 @functools.partial(jax.jit, static_argnames=("r", "num_lists", "interpret"))
 def pq4_block_scan(
-    meta: jax.Array,     # (n_blocks, 4) int32 [list, hi, is_first, padded_base]
-    member: jax.Array,   # (K, T_pad) int8 probe membership
+    meta: jax.Array,     # (n_blocks*4,) int32 flat [list, hi, is_first, padded_base]
+    member: jax.Array,   # (K, 1, T_pad) int8 probe membership
     codes2: jax.Array,   # (n_blocks*BLOCK_ROWS/pack, LANES) int8
     le: jax.Array,       # (bpr*KSUB, T_pad) bf16 even-subspace LUT planes
     lo: jax.Array,       # (bpr*KSUB, T_pad) bf16 odd-subspace LUT planes
@@ -207,7 +211,7 @@ def pq4_block_scan(
     (scores (K, r, T_pad) fp32, rows (K, r, T_pad) int32 PADDED row ids)."""
     if interpret is None:
         interpret = jax.default_backend() in ("cpu", "gpu")
-    n_blocks = meta.shape[0]
+    n_blocks = meta.shape[0] // 4
     t_pad = le.shape[1]
     bpr = le.shape[0] // KSUB
     pack = LANES // bpr
@@ -225,7 +229,9 @@ def pq4_block_scan(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, t_pad), lambda b, m_ref: (m_ref[b, 0], 0), memory_space=pltpu.VMEM),
+            # (K, 1, t_pad) with (1, 1, t_pad) blocks: TPU block shapes need
+            # the last two dims divisible by (8, 128) or equal to the array's
+            pl.BlockSpec((1, 1, t_pad), lambda b, m_ref: (m_ref[b * 4], 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_p, LANES), lambda b, m_ref: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bpr, bpr * KSUB), lambda b, m_ref: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bpr * KSUB), lambda b, m_ref: (0, 0), memory_space=pltpu.VMEM),
@@ -233,15 +239,15 @@ def pq4_block_scan(
             pl.BlockSpec((bpr * KSUB, t_pad), lambda b, m_ref: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, r, t_pad), lambda b, m_ref: (m_ref[b, 0], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, t_pad), lambda b, m_ref: (m_ref[b, 0], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, t_pad), lambda b, m_ref: (m_ref[b * 4], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, t_pad), lambda b, m_ref: (m_ref[b * 4], 0, 0), memory_space=pltpu.VMEM),
         ),
     )
 
     def kernel(m_ref, member_ref, buf_ref, expand_ref, vpat_ref, le_ref, lo_ref,
                out_s_ref, out_r_ref):
         b = pl.program_id(0)
-        meta_row = (m_ref[b, 0], m_ref[b, 1], m_ref[b, 2], m_ref[b, 3])
+        meta_row = (m_ref[b * 4], m_ref[b * 4 + 1], m_ref[b * 4 + 2], m_ref[b * 4 + 3])
         _kernel(meta_row, member_ref, buf_ref, expand_ref, vpat_ref, le_ref, lo_ref,
                 out_s_ref, out_r_ref, r=r, pack=pack, bpr=bpr, t_pad=t_pad)
 
@@ -270,7 +276,7 @@ def ivf_probe_pq4(
     q_tokens: jax.Array,          # (T, d)
     coarse_centroids: jax.Array,  # (K, d)
     codebooks: jax.Array,         # (m, 16, d/m)
-    meta: jax.Array,              # (n_blocks, 4) int32 from build_pq4_blocks
+    meta: jax.Array,              # (n_blocks*4,) int32 from pq4_meta
     codes2: jax.Array,            # lane-packed padded codes
     row_of_padded: jax.Array,     # (padded_rows,) int32 -> CSR row or -1
     list_nonempty: jax.Array,     # (K,) int32
@@ -296,7 +302,7 @@ def ivf_probe_pq4(
         vals, lists = jax.lax.top_k(coarse, nprobe)
     thr = vals[:, -1]
     member = (coarse >= thr[:, None])                           # (T, K)
-    member_kt = jnp.pad(member.T.astype(jnp.int8), ((0, 0), (0, t_pad - T)))
+    member_kt = jnp.pad(member.T.astype(jnp.int8), ((0, 0), (0, t_pad - T)))[:, None, :]
 
     lut = adc_lut(q_tokens, codebooks)                          # (T, m, 16)
     le = lut[:, 0::2, :].reshape(T, -1)                         # (T, m/2*16)

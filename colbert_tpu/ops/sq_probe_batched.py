@@ -10,24 +10,29 @@ the same batch on average.
 
 This module inverts the loop — the TPU-idiomatic formulation:
 
-1. XLA builds a *slot schedule*: all (token, list) probe pairs are sorted by
-   list id and grouped into slots of up to ``TPL`` tokens sharing one list
-   (a hot list probed by >TPL tokens gets multiple slots).
+1. XLA builds a *slot schedule*: (token, list) probe pairs are grouped into
+   slots of up to ``TPL`` tokens sharing one list (a hot list probed by more
+   tokens spans multiple slot groups).  Two builders exist:
+   :func:`build_slot_schedule_dense` (the default: sort-free, one ``top_k``
+   over the transposed membership matrix + a cumsum, ~2 ms at the serving
+   operating point) and the original sort-based :func:`build_slot_schedule`
+   (kept as the oracle for tests; its one value-sort + scans measured
+   ~35-65 ms in-pipeline).
 2. A Pallas kernel runs one grid step per slot: it builds the slot's query
    pack ``(TPL, sq_dim)`` with an in-VMEM one-hot matmul (no HBM gather),
    then streams the list's 128-row blocks once with double-buffered DMAs,
    scoring each block against ALL the slot's tokens in one fat MXU matmul
-   ``(rows, sq_dim) x (sq_dim, TPL)`` and reducing to the per-(token, block)
-   top-``R`` rows in-kernel — so the score transient never exists in HBM.
+   ``(rows, sq_dim) x (sq_dim, TPL)`` and maintaining a running
+   per-(token, list) top-``R`` across blocks in-kernel — the raw score
+   transient never exists in HBM.
 3. XLA maps the per-slot results back to (token, probed-list) order and takes
-   each token's top-``depth`` over ``nprobe * max_blocks * R`` entries
+   each token's top-``depth`` over ``nprobe * R`` entries
    (vs. ``nprobe * cap`` raw scores before: ~50x smaller top-k input).
 
-Equal recall knob: ``R`` rows kept per (token, 128-row block).  The exact
-per-token scan keeps the global top-``depth`` over all probed rows; keeping
-top-R per block is lossy only when >R of a token's top-depth rows land in the
-same block — with multiview docs spread over lists this is rare (measured in
-tests/bench).
+Equal recall knob: ``R`` rows kept per (token, probed list).  Measured at the
+bench operating point (R=8, nprobe=128, depth=512): recall@100 0.989 vs the
+token-major exact scan's 0.983 — per-list top-R DIVERSIFIES candidates
+relative to the global top-depth's hot-list bias.
 
 Replaces: faiss's IVF scan loop (``colbert/ranking/colbert_ranker.py:183-210``)
 — which also re-scans lists per query-token via ``index.search`` — with a
@@ -148,38 +153,47 @@ def build_slot_schedule_dense(
     *,
     tpl: int,
     pack: int,
+    groups: int = 8,
+    list_mask: jax.Array | None = None,   # (K,) bool: lists handled here
 ) -> Tuple[SlotSchedule, jax.Array]:
-    """Sort-free slot schedule: one slot PER LIST, members selected straight
-    from the coarse-score matrix.
+    """Sort-free slot schedule: ``groups`` slots per list, members selected
+    straight from the coarse-score matrix.
 
     The sort-based builder costs ~65 ms at the serving operating point (a
-    295k-pair sort + scans); this replaces it with one ``top_k`` over the
-    transposed membership matrix (~the same cost as the coarse probe top-k)
-    plus a cumsum:
+    295k-pair sort + scans); this replaces it with ONE ``top_k`` over the
+    transposed membership matrix plus a cumsum:
 
     * member(t, l) = coarse[t, l] >= thr[t]
-    * slot l's token pack = the ``tpl`` SMALLEST member token ids (top_k of
-      ``-t``), so a pair's position is the member-count prefix
-      ``cumsum(member, axis=0) - 1`` — no sort anywhere.
-    * a list probed by more than ``tpl`` tokens truncates the excess pairs
-      (returned mask ``pair_valid``); with tpl=128 and ~72 mean tokens/list
-      this loses <1% of pairs, each of which retains its other nprobe-1
-      lists.
+    * the ``groups * tpl`` SMALLEST member token ids per list (one top_k of
+      ``-t`` with k = groups*tpl) are split into ``groups`` slots of
+      ``tpl``; because selection is by ascending token id, slot g holds
+      exactly the members with rank in [g*tpl, (g+1)*tpl) — so a pair's
+      (slot, pos) comes from the member-count prefix
+      ``cumsum(member, axis=0) - 1``.  No sort anywhere.
+    * probe popularity is heavily SKEWED (a hot list can be probed by
+      hundreds of the batch's tokens — and hot lists are precisely the ones
+      tokens rank highest), so single-slot truncation at tpl=128 collapses
+      recall (measured 0.98 -> 0.13); groups=8 covers up to 1024 members
+      per list and empty overflow slots cost one guarded grid step.
 
-    Returns (schedule, pair_valid (P,) bool).
+    Returns (schedule with slot id = g*K + l, pair_valid (P,) bool).
     """
     T, K = coarse.shape
     member = coarse >= thr[:, None]                               # (T, K)
+    if list_mask is not None:
+        member = member & list_mask[None, :]
     tok_val = jnp.where(member, -jnp.arange(T, dtype=jnp.float32)[:, None], -jnp.inf)
-    k_eff = min(tpl, T)
+    k_eff = min(groups * tpl, T)
     vals, idx = jax.lax.top_k(tok_val.T, k_eff)                   # (K, k_eff)
     qidx = jnp.where(jnp.isinf(vals), -1, idx).astype(jnp.int32)
-    if k_eff < tpl:
-        qidx = jnp.pad(qidx, ((0, 0), (0, tpl - k_eff)), constant_values=-1)
+    if k_eff < groups * tpl:
+        qidx = jnp.pad(qidx, ((0, 0), (0, groups * tpl - k_eff)), constant_values=-1)
+    # (K, groups, tpl) -> slot-major (groups*K, tpl), slot id = g*K + l
+    qidx = jnp.transpose(qidx.reshape(K, groups, tpl), (1, 0, 2)).reshape(groups * K, tpl)
     slot_valid = (qidx[:, 0] >= 0).astype(jnp.int32)
 
-    off_lo = offsets[:-1]
-    off_hi = offsets[1:]
+    off_lo = jnp.tile(offsets[:-1], groups)
+    off_hi = jnp.tile(offsets[1:], groups)
     aligned = (off_lo // 32) * 32
     win = jnp.where(slot_valid > 0, off_hi - aligned, 0)
     nblocks = (win + BLOCK_ROWS - 1) // BLOCK_ROWS
@@ -189,14 +203,19 @@ def build_slot_schedule_dense(
         axis=-1,
     )[:, None, :]
 
-    # pair (t, j) -> slot lists[t,j], pos = member-rank of t in that list
+    # pair (t, j): rank of t among the list's members (by ascending token id)
     pos_mat = jnp.cumsum(member.astype(jnp.int32), axis=0)        # (T, K)
     l_flat = lists.reshape(-1)
     t_flat = jnp.repeat(jnp.arange(T, dtype=jnp.int32), lists.shape[1])
-    pos_of_pair = pos_mat.reshape(-1)[t_flat * K + l_flat] - 1
-    pair_valid = pos_of_pair < tpl
-    pos_of_pair = jnp.minimum(pos_of_pair, tpl - 1)
-    return SlotSchedule(qidx, meta, l_flat, pos_of_pair), pair_valid
+    flat_idx = t_flat * K + l_flat
+    rank = pos_mat.reshape(-1)[flat_idx] - 1
+    # a pair that is somehow NOT a member (e.g. approximate list selection
+    # below the threshold) would alias another token's slot position
+    pair_valid = (rank < groups * tpl) & member.reshape(-1)[flat_idx]
+    rank = jnp.minimum(rank, groups * tpl - 1)
+    slot_of_pair = (rank // tpl) * K + l_flat
+    pos_of_pair = rank % tpl
+    return SlotSchedule(qidx, meta, slot_of_pair, pos_of_pair), pair_valid
 
 
 def _kernel(qidx_ref, meta_ref, qsT_ref, codes2_ref, out_s_ref, out_r_ref,
@@ -218,102 +237,257 @@ def _kernel(qidx_ref, meta_ref, qsT_ref, codes2_ref, out_s_ref, out_r_ref,
             sem_ref.at[slot],
         )
 
+    # empty (overflow) slots cost just this guarded grid step; their output
+    # is never gathered (pairs only map to slots holding their member)
     @pl.when(nblocks > 0)
-    def _():
+    def _run():
         dma(0, 0).start()
 
-    # ---- query pack: one-hot (TPL, T) matmul — all in VMEM, no HBM gather.
-    # bf16 operands: the (tpl, T)x(T, sq_dim) contraction is the kernel's
-    # biggest matmul and bf16 runs 4x the f32 MXU rate; the one-hot is exact
-    # in bf16 and qs rounding only perturbs candidate scores
-    qid = qidx_ref[0]                                   # (tpl, 1) int32
-    token_iota = jax.lax.broadcasted_iota(jnp.int32, (tpl, t_pad), 1)
-    oh = (qid == token_iota).astype(jnp.bfloat16)       # (tpl, t_pad)
-    # qpackT (sq_dim, tpl): qsT (sq_dim, t_pad) contracted with oh over tokens
-    qpackT = jax.lax.dot_general(
-        qsT_ref[:], oh,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    zeros_band = jnp.zeros((sq_dim, tpl), jnp.float32)
-    # bands[c]: (LANES, tpl) with qpackT on lane rows [c*sq_dim, (c+1)*sq_dim)
-    bands = [
-        jnp.concatenate(
-            [zeros_band] * c + [qpackT] + [zeros_band] * (pack - 1 - c), axis=0
+        # ---- query pack: one-hot (TPL, T) matmul — all in VMEM, no HBM
+        # gather.  bf16 operands: the (tpl, T)x(T, sq_dim) contraction is
+        # the kernel's biggest matmul and bf16 runs 4x the f32 MXU rate; the
+        # one-hot is exact in bf16 and qs rounding only perturbs candidate
+        # scores
+        qid = qidx_ref[0]                                   # (tpl, 1) int32
+        token_iota = jax.lax.broadcasted_iota(jnp.int32, (tpl, t_pad), 1)
+        oh = (qid == token_iota).astype(jnp.bfloat16)       # (tpl, t_pad)
+        # qpackT (sq_dim, tpl): qsT contracted with oh over tokens
+        qpackT = jax.lax.dot_general(
+            qsT_ref[:], oh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        for c in range(pack)
-    ]
+        zeros_band = jnp.zeros((sq_dim, tpl), jnp.float32)
+        # bands[c]: (LANES, tpl), qpackT on lane rows [c*sq_dim, (c+1)*sq_dim)
+        bands = [
+            jnp.concatenate(
+                [zeros_band] * c + [qpackT] + [zeros_band] * (pack - 1 - c), axis=0
+            )
+            for c in range(pack)
+        ]
+
+        big = jnp.int32(1 << 30)
+        p_iota = jax.lax.broadcasted_iota(jnp.int32, (rows_p, tpl), 0)
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (r, tpl), 0)
+
+        def body(b, state):
+            state_s, state_r = state                        # (r, tpl) running top-r
+            slot = jax.lax.rem(b, 2)
+
+            @pl.when(b + 1 < nblocks)
+            def _():
+                dma(jax.lax.rem(b + 1, 2), b + 1).start()
+
+            dma(slot, b).wait()
+            rowsP = buf_ref[slot].astype(jnp.float32)       # (rows_p, LANES)
+            planes = []
+            for c in range(pack):
+                s = jax.lax.dot_general(
+                    rowsP, bands[c],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                           # (rows_p, tpl): window row pack*p + c
+                ridx = b * BLOCK_ROWS + pack * p_iota + c
+                s = jnp.where((ridx >= lo) & (ridx < hi), s, -jnp.inf)
+                planes.append(s)
+
+            # merge (running top-r ∪ this block's rows) -> new top-r, per token.
+            # r extract-max passes; the state rides along as one more "plane".
+            # Exactly ONE entry is consumed per pass (masked by its row id, not
+            # by score), so duplicate scores are all kept.
+            top_s, top_r = [], []
+            for _ in range(r):
+                ms = [jnp.max(p, axis=0, keepdims=True) for p in planes]
+                m_blk = functools.reduce(jnp.maximum, ms)               # (1, tpl)
+                m_st = jnp.max(state_s, axis=0, keepdims=True)
+                m = jnp.maximum(m_blk, m_st)
+                # winner: the min window-row among block ties; state only if no
+                # block row matches m
+                cand = [
+                    jnp.where(planes[c] == m, pack * p_iota + c, big)
+                    for c in range(pack)
+                ]
+                rid = functools.reduce(
+                    jnp.minimum, [jnp.min(cv, axis=0, keepdims=True) for cv in cand]
+                )                                                       # (1, tpl)
+                from_blk = rid < big
+                gr_blk = aligned_row + b * BLOCK_ROWS + rid
+                idx_st = jnp.min(
+                    jnp.where(state_s == m, r_iota, big), axis=0, keepdims=True
+                )                                                       # (1, tpl)
+                gr_st = jnp.min(
+                    jnp.where(r_iota == idx_st, state_r, big), axis=0, keepdims=True
+                )
+                gr = jnp.where(from_blk, gr_blk, gr_st)
+                gr = jnp.where(jnp.isfinite(m), gr, -1)
+                # consume exactly the selected entry
+                planes = [
+                    jnp.where(
+                        from_blk & ((pack * p_iota + c) == rid), -jnp.inf, planes[c]
+                    )
+                    for c in range(pack)
+                ]
+                state_s = jnp.where((~from_blk) & (r_iota == idx_st), -jnp.inf, state_s)
+                top_s.append(m)
+                top_r.append(gr)
+            return jnp.concatenate(top_s, axis=0), jnp.concatenate(top_r, axis=0)
+
+        init = (jnp.full((r, tpl), -jnp.inf, jnp.float32), jnp.full((r, tpl), -1, jnp.int32))
+        final_s, final_r = jax.lax.fori_loop(0, nblocks, body, init)
+        out_s_ref[0, :, :] = final_s
+        out_r_ref[0, :, :] = final_r
+
+
+def _hot_kernel(meta_ref, bands_ref, codes2_ref, out_s_ref, out_r_ref,
+                buf_ref, sem_ref, *, r, pack, t_pad):
+    """Dense scan of one 128-row block of a HOT list against ALL tokens."""
+    sq_dim = LANES // pack
+    rows_p = BLOCK_ROWS // pack
+    b = pl.program_id(0)
+    start_packed = meta_ref[b * 8 + 1]
+    lo = meta_ref[b * 8 + 2]
+    hi = meta_ref[b * 8 + 3]
+    base_row = meta_ref[b * 8 + 4]
+    is_first = meta_ref[b * 8 + 5]
+
+    # unconditional DMA: dummy blocks ([lo, hi) empty) read in-bounds padding
+    # and mask to -inf, so the merge is a no-op for them
+    copy = pltpu.make_async_copy(
+        codes2_ref.at[pl.ds(pl.multiple_of(start_packed, 32 // pack), rows_p), :],
+        buf_ref,
+        sem_ref,
+    )
+    copy.start()
+
+    state_s = jnp.where(is_first > 0, jnp.full((r, t_pad), -jnp.inf, jnp.float32), out_s_ref[0])
+    state_r = jnp.where(is_first > 0, jnp.full((r, t_pad), -1, jnp.int32), out_r_ref[0])
 
     big = jnp.int32(1 << 30)
-    p_iota = jax.lax.broadcasted_iota(jnp.int32, (rows_p, tpl), 0)
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (r, tpl), 0)
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (rows_p, t_pad), 0)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (r, t_pad), 0)
 
-    def body(b, state):
-        state_s, state_r = state                        # (r, tpl) running top-r
-        slot = jax.lax.rem(b, 2)
+    copy.wait()
+    rowsP = buf_ref[:].astype(jnp.float32)          # (rows_p, LANES)
+    planes = []
+    for c in range(pack):
+        s = jax.lax.dot_general(
+            rowsP, bands_ref[:, c * t_pad : (c + 1) * t_pad],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # (rows_p, t_pad)
+        ridx = pack * p_iota + c
+        planes.append(jnp.where((ridx >= lo) & (ridx < hi), s, -jnp.inf))
+    top_s, top_r = [], []
+    for _ in range(r):
+        ms = [jnp.max(p, axis=0, keepdims=True) for p in planes]
+        m_blk = functools.reduce(jnp.maximum, ms)
+        m_st = jnp.max(state_s, axis=0, keepdims=True)
+        m = jnp.maximum(m_blk, m_st)
+        cand = [jnp.where(planes[c] == m, pack * p_iota + c, big) for c in range(pack)]
+        rid = functools.reduce(
+            jnp.minimum, [jnp.min(cv, axis=0, keepdims=True) for cv in cand]
+        )
+        from_blk = rid < big
+        gr_blk = base_row + rid
+        idx_st = jnp.min(jnp.where(state_s == m, r_iota, big), axis=0, keepdims=True)
+        gr_st = jnp.min(jnp.where(r_iota == idx_st, state_r, big), axis=0, keepdims=True)
+        gr = jnp.where(from_blk, gr_blk, gr_st)
+        gr = jnp.where(jnp.isfinite(m), gr, -1)
+        planes = [
+            jnp.where(from_blk & ((pack * p_iota + c) == rid), -jnp.inf, planes[c])
+            for c in range(pack)
+        ]
+        state_s = jnp.where((~from_blk) & (r_iota == idx_st), -jnp.inf, state_s)
+        top_s.append(m)
+        top_r.append(gr)
+    out_s_ref[0] = jnp.concatenate(top_s, axis=0)
+    out_r_ref[0] = jnp.concatenate(top_r, axis=0)
 
-        @pl.when(b + 1 < nblocks)
-        def _():
-            dma(jax.lax.rem(b + 1, 2), b + 1).start()
 
-        dma(slot, b).wait()
-        rowsP = buf_ref[slot].astype(jnp.float32)       # (rows_p, LANES)
-        planes = []
-        for c in range(pack):
-            s = jax.lax.dot_general(
-                rowsP, bands[c],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                           # (rows_p, tpl): window row pack*p + c
-            ridx = b * BLOCK_ROWS + pack * p_iota + c
-            s = jnp.where((ridx >= lo) & (ridx < hi), s, -jnp.inf)
-            planes.append(s)
+@functools.partial(jax.jit, static_argnames=("hot_cap", "maxb", "r", "interpret"))
+def sq_hot_list_scan(
+    hot_ids: jax.Array,   # (hot_cap,) int32 list ids (-1 padded)
+    offsets: jax.Array,   # (K+1,) int32
+    qsT: jax.Array,       # (sq_dim, T_pad) fp32
+    codes8: jax.Array,    # (N_pad, sq_dim) int8 CSR codes (padded)
+    *,
+    hot_cap: int,
+    maxb: int,
+    r: int,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Score every row of the ``hot_cap`` hottest lists against ALL tokens.
 
-        # merge (running top-r ∪ this block's rows) -> new top-r, per token.
-        # r extract-max passes; the state rides along as one more "plane".
-        # Exactly ONE entry is consumed per pass (masked by its row id, not
-        # by score), so duplicate scores are all kept.
-        top_s, top_r = [], []
-        for _ in range(r):
-            ms = [jnp.max(p, axis=0, keepdims=True) for p in planes]
-            m_blk = functools.reduce(jnp.maximum, ms)               # (1, tpl)
-            m_st = jnp.max(state_s, axis=0, keepdims=True)
-            m = jnp.maximum(m_blk, m_st)
-            # winner: the min window-row among block ties; state only if no
-            # block row matches m
-            cand = [
-                jnp.where(planes[c] == m, pack * p_iota + c, big)
-                for c in range(pack)
-            ]
-            rid = functools.reduce(
-                jnp.minimum, [jnp.min(cv, axis=0, keepdims=True) for cv in cand]
-            )                                                       # (1, tpl)
-            from_blk = rid < big
-            gr_blk = aligned_row + b * BLOCK_ROWS + rid
-            idx_st = jnp.min(
-                jnp.where(state_s == m, r_iota, big), axis=0, keepdims=True
-            )                                                       # (1, tpl)
-            gr_st = jnp.min(
-                jnp.where(r_iota == idx_st, state_r, big), axis=0, keepdims=True
-            )
-            gr = jnp.where(from_blk, gr_blk, gr_st)
-            gr = jnp.where(jnp.isfinite(m), gr, -1)
-            # consume exactly the selected entry
-            planes = [
-                jnp.where(
-                    from_blk & ((pack * p_iota + c) == rid), -jnp.inf, planes[c]
-                )
-                for c in range(pack)
-            ]
-            state_s = jnp.where((~from_blk) & (r_iota == idx_st), -jnp.inf, state_s)
-            top_s.append(m)
-            top_r.append(gr)
-        return jnp.concatenate(top_s, axis=0), jnp.concatenate(top_r, axis=0)
+    A popularity-hot list (probed by most of the batch) defeats the slot
+    schedule's per-list token capacity; scanning it densely costs one fat
+    ``(rows, sq_dim) x (sq_dim, pack*T)`` matmul per 128-row block — cheaper
+    than any packing.  Tokens that did not probe a hot list simply never
+    gather its entries.  Returns (scores (hot_cap, r, T_pad) fp32,
+    rows (hot_cap, r, T_pad) int32 CSR rows)."""
+    if interpret is None:
+        interpret = jax.default_backend() in ("cpu", "gpu")
+    sq_dim = codes8.shape[1]
+    pack = LANES // sq_dim
+    t_pad = qsT.shape[1]
+    n_pad = codes8.shape[0]
+    codes2 = codes8.reshape(n_pad // pack, LANES)
+    rows_p = BLOCK_ROWS // pack
 
-    init = (jnp.full((r, tpl), -jnp.inf, jnp.float32), jnp.full((r, tpl), -1, jnp.int32))
-    final_s, final_r = jax.lax.fori_loop(0, nblocks, body, init)
-    out_s_ref[0, :, :] = final_s
-    out_r_ref[0, :, :] = final_r
+    # per-(hot, block) scalar meta, hot-major so output revisiting works
+    safe = jnp.maximum(hot_ids, 0)
+    off_lo = jnp.where(hot_ids >= 0, offsets[safe], 0)
+    off_hi = jnp.where(hot_ids >= 0, offsets[jnp.minimum(safe + 1, offsets.shape[0] - 1)], 0)
+    aligned = (off_lo // 32) * 32
+    h_idx = jnp.repeat(jnp.arange(hot_cap, dtype=jnp.int32), maxb)
+    b_idx = jnp.tile(jnp.arange(maxb, dtype=jnp.int32), hot_cap)
+    al = aligned[h_idx]
+    lo = jnp.clip(off_lo[h_idx] - al - b_idx * BLOCK_ROWS, 0, BLOCK_ROWS)
+    hi = jnp.clip(off_hi[h_idx] - al - b_idx * BLOCK_ROWS, 0, BLOCK_ROWS)
+    meta = jnp.stack([
+        h_idx,
+        al // pack + b_idx * rows_p,
+        lo, hi,
+        al + b_idx * BLOCK_ROWS,
+        (b_idx == 0).astype(jnp.int32),
+        jnp.zeros_like(h_idx), jnp.zeros_like(h_idx),
+    ], axis=1).reshape(-1)
+
+    # block-diagonal bands: bands[c*sq_dim+d, c*t_pad+t] = qsT[d, t]
+    zeros = jnp.zeros((sq_dim, t_pad), jnp.float32)
+    bands = jnp.concatenate(
+        [jnp.concatenate([zeros] * c + [qsT.astype(jnp.float32)] + [zeros] * (pack - 1 - c), axis=1)
+         for c in range(pack)], axis=0
+    )                                                   # (LANES, pack*t_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(hot_cap * maxb,),
+        in_specs=[
+            pl.BlockSpec((LANES, pack * t_pad), lambda b, m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, r, t_pad), lambda b, m: (m[b * 8], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, t_pad), lambda b, m: (m[b * 8], 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows_p, LANES), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_s, out_r = pl.pallas_call(
+        functools.partial(_hot_kernel, r=r, pack=pack, t_pad=t_pad),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((hot_cap, r, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((hot_cap, r, t_pad), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(meta, bands, codes2)
+    return out_s, out_r
 
 
 @functools.partial(jax.jit, static_argnames=("tpl", "r", "interpret"))
@@ -388,8 +562,12 @@ def probe_batched_postprocess(
     depth: int,
     approx: bool,
     pair_valid: jax.Array | None = None,
+    hot: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    lists: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Map per-slot results back to tokens and take per-token top-depth."""
+    """Map per-slot (and hot-list) results back to tokens, then per-token
+    top-depth.  ``hot`` = (hot_pos (K,), hot_s (H, r, T_pad), hot_r) from
+    :func:`sq_hot_list_scan`."""
     S, r, tpl = out_s.shape
     # flatten the (slot, pos) axes so one row-gather recovers each pair's entries
     flat_s = jnp.transpose(out_s, (0, 2, 1)).reshape(S * tpl, r)
@@ -400,6 +578,18 @@ def probe_batched_postprocess(
     if pair_valid is not None:
         ps = jnp.where(pair_valid[:, None], ps, -jnp.inf)
         pr = jnp.where(pair_valid[:, None], pr, -1)
+    if hot is not None:
+        hot_pos, hot_s, hot_r = hot
+        H, _, t_pad = hot_s.shape
+        fh_s = jnp.transpose(hot_s, (0, 2, 1)).reshape(H * t_pad, r)
+        fh_r = jnp.transpose(hot_r, (0, 2, 1)).reshape(H * t_pad, r)
+        l_flat = lists.reshape(-1)
+        t_flat = jnp.repeat(jnp.arange(T, dtype=jnp.int32), nprobe)
+        hp = hot_pos[l_flat]                                       # (P,)
+        hidx = jnp.maximum(hp, 0) * t_pad + t_flat
+        is_hot = (hp >= 0)[:, None]
+        ps = jnp.where(is_hot, fh_s[hidx], ps)
+        pr = jnp.where(is_hot, fh_r[hidx], pr)
     ps = ps.reshape(T, nprobe * r)
     pr = pr.reshape(T, nprobe * r)
 

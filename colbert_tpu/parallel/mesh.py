@@ -115,6 +115,14 @@ def init_distributed(
     (``colbert/utils/distributed.py:19-26``).  With args omitted, JAX
     auto-detects the TPU pod environment; explicit args support manual
     launches.  Safe to call once per process before any device use.
+
+    Pod launch recipe (the ``torch.distributed.launch`` analogue,
+    ``eval.sh:13``): run the SAME CLI command on every host with
+    ``--coordinator host0:port --num-processes N --process-id i`` — the
+    global mesh spans all hosts and the seeded samplers keep every process's
+    batch stream identical (see ``put_global``).  For multi-process CPU
+    testing, also set ``jax.config.update("jax_cpu_collectives_implementation",
+    "gloo")`` before this call (tests/test_multihost.py does).
     """
     kwargs = {}
     if coordinator_address is not None:

@@ -73,7 +73,7 @@ def _meta_d_view(meta: dict, cfg: ColbertConfig) -> int:
 
 def make_probe_fn(codec, coarse, quant, codes, offsets, *, nprobe: int, cap: int, depth: int,
                   approx_topk: bool = False, probe_impl: str = "auto", list_topr: int = 8,
-                  probe_stop: Optional[str] = None):
+                  probe_stop: Optional[str] = None, hot_cap: int = 64):
     """Codec-dispatched candidate generator closure for :func:`retrieval_core`.
 
     ``quant``: PQ codebooks (codec="pq") or an (sq_proj, sq_scales) tuple
@@ -99,7 +99,7 @@ def make_probe_fn(codec, coarse, quant, codes, offsets, *, nprobe: int, cap: int
         return lambda tokens: ivf_probe_sq_batched(
             tokens, coarse, proj, scales, codes, offsets,
             nprobe=nprobe, depth=depth, maxb=maxb, r=list_topr,
-            approx_topk=approx_topk, stop=probe_stop,
+            approx_topk=approx_topk, stop=probe_stop, hot_cap=hot_cap,
         )
     return lambda tokens: ivf_probe_sq(
         tokens, coarse, proj, scales, codes, offsets,
@@ -393,6 +393,7 @@ class ColbertSearcher:
                 probe_impl=self.cfg.serve.probe_impl,
                 list_topr=self.cfg.serve.probe_list_topr,
                 probe_stop=probe_stop,
+                hot_cap=self.cfg.serve.probe_hot_lists,
             )
             return retrieval_core(
                 Qm, qm, probe_fn, pid_by_row,

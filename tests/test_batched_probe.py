@@ -223,3 +223,62 @@ class TestProbeContract:
             for t in range(q.shape[0])
         ]
         assert np.mean(overlaps) > 0.8, overlaps
+
+
+class TestHotLists:
+    def test_hot_list_scanned_densely(self):
+        """A list probed by more tokens than the slot capacity routes through
+        the dense hot scan and still matches the token-major probe
+        (regression: popularity-skew truncation collapsed recall 0.98->0.13
+        at the bench operating point)."""
+        rng = np.random.default_rng(7)
+        sq_dim, dim, K = 8, 32, 6
+        # one dominant cluster: every token probes list 0 first
+        center = rng.normal(size=(1, dim)).astype(np.float32)
+        embs = np.concatenate([
+            center + 0.05 * rng.normal(size=(200, dim)),
+            rng.normal(size=(100, dim)),
+        ]).astype(np.float32)
+        embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+        proj, scales = sq_train(jnp.asarray(embs), sq_dim)
+        codes = np.asarray(sq_encode(jnp.asarray(embs), proj, scales))
+        coarse = np.concatenate([center / np.linalg.norm(center),
+                                 rng.normal(size=(K - 1, dim)).astype(np.float32)])
+        assign = np.argmax(embs @ coarse.T, axis=1).astype(np.int32)
+        perm, offsets = sort_by_list(assign, K)
+        q = (center + 0.1 * rng.normal(size=(20, dim))).astype(np.float32)
+
+        lists = np.argsort(-(q @ coarse.T), axis=1)[:, :3]
+        maxb = (int((offsets[1:] - offsets[:-1]).max()) + 31 + 127) // 128
+        kw = dict(nprobe=3, depth=24, maxb=maxb, r=8, interpret=True)
+        # tpl=4, groups=2 -> slot capacity 8 < 20 probing tokens: the big
+        # list is hot; without the hot path, tokens with member-rank >= 8
+        # lose it entirely
+        s_hot, r_hot = ivf_probe_sq_batched(
+            jnp.asarray(q), jnp.asarray(coarse), proj, scales,
+            jnp.asarray(codes[perm]), jnp.asarray(offsets),
+            tpl=4, groups=2, hot_cap=3, **kw,
+        )
+        s_cut, r_cut = ivf_probe_sq_batched(
+            jnp.asarray(q), jnp.asarray(coarse), proj, scales,
+            jnp.asarray(codes[perm]), jnp.asarray(offsets),
+            tpl=4, groups=2, hot_cap=0, **kw,
+        )
+        r_hot, r_cut = np.asarray(r_hot), np.asarray(r_cut)
+        # the dominant list (probed first by every token)
+        big = int(lists[0, 0])
+        lo, hi = int(offsets[big]), int(offsets[big + 1])
+        in_big = lambda rr: ((rr >= lo) & (rr < hi)).sum()
+        hot_cov = [in_big(r_hot[t]) for t in range(q.shape[0])]
+        cut_cov = [in_big(r_cut[t]) for t in range(q.shape[0])]
+        # with the hot path EVERY token keeps its top-8 of the hot list
+        assert min(hot_cov) == 8, (hot_cov, cut_cov)
+        # without it, capacity (2 groups x 4) limits coverage to 8 tokens
+        assert sum(1 for c in cut_cov if c == 0) >= q.shape[0] - 8, (hot_cov, cut_cov)
+        # hot-path scores agree with the slot path for a non-truncated token
+        # (hot scores are f32 band matmuls; slot scores go through the bf16
+        # query-pack matmul)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(s_hot)[0]), np.sort(np.asarray(s_cut)[0]),
+            rtol=5e-3, atol=5e-3,
+        )

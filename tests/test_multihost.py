@@ -23,9 +23,11 @@ sys.path.insert(0, {repo!r})
 sys.path.insert(0, {tests!r})
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 4)
 nproc = int(sys.argv[1]); pid = int(sys.argv[2]); port = int(sys.argv[3]); out = sys.argv[4]
+jax.config.update("jax_num_cpu_devices", 8 // nproc)
 if nproc > 1:
+    # multi-process CPU collectives need the gloo backend
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
     from colbert_tpu.parallel.mesh import init_distributed
     init_distributed(f"127.0.0.1:{{port}}", nproc, pid)
 assert jax.device_count() == 8, jax.device_count()
@@ -34,6 +36,7 @@ import numpy as np
 from test_training import WORDS, make_examples  # deterministic synthetic data
 from colbert_tpu.config import (ColbertConfig, IndexConfig, MeshConfig, ModelConfig,
                                 MultiviewConfig, TokenizerConfig, TrainConfig)
+_ = IndexConfig  # imported for parity with other drivers
 from colbert_tpu.tokenization import ColbertTokenizer, build_vocab, write_vocab
 from colbert_tpu.training import ColbertTrainer, RetrievalDataset
 
@@ -47,6 +50,7 @@ cfg = ColbertConfig(
     train=TrainConfig(learning_rate=1e-3, per_device_batch_size=1, num_epochs=1,
                       eval_num_positives=1, eval_num_negatives=3, log_every=2,
                       checkpoint_dir=f"ckpt_{{pid}}", seed=0),
+    index=IndexConfig(pq_m=4),
     mesh=MeshConfig(data=4, model=2),
 )
 tok = ColbertTokenizer(cfg.tokenizer, cfg.multiview)
