@@ -39,7 +39,10 @@ def assign_clusters(points: jax.Array, centroids: jax.Array, chunk: int = 16384)
     c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=-1)  # (K,)
 
     def body(chunk_pts):
-        dots = jnp.dot(chunk_pts, centroids.T, preferred_element_type=jnp.float32)
+        # bf16 operands, fp32 accumulate: 4x the f32 MXU rate; distance
+        # argmins tolerate bf16 (ties flip, both assignments are valid)
+        dots = jnp.dot(chunk_pts.astype(jnp.bfloat16), centroids.T.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
         return jnp.argmin(c_sq[None, :] - 2.0 * dots, axis=-1).astype(jnp.int32)
 
     out = jax.lax.map(body, points_p.reshape(-1, chunk, points.shape[1]))
@@ -55,7 +58,8 @@ def nearest_centroids(points: jax.Array, centroids: jax.Array, kc: int, chunk: i
     c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, axis=-1)
 
     def body(chunk_pts):
-        dots = jnp.dot(chunk_pts, centroids.T, preferred_element_type=jnp.float32)
+        dots = jnp.dot(chunk_pts.astype(jnp.bfloat16), centroids.T.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
         _, idx = jax.lax.top_k(2.0 * dots - c_sq[None, :], kc)
         return idx.astype(jnp.int32)
 
@@ -128,11 +132,13 @@ def kmeans(
         def chunk_body(carry, inp):
             sums, counts = carry
             x, m = inp
-            dots = jnp.dot(x, centroids.T, preferred_element_type=jnp.float32)
+            dots = jnp.dot(x.astype(jnp.bfloat16), centroids.T.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
             a = jnp.argmin(c_sq[None, :] - 2.0 * dots, axis=-1)
-            onehot = jax.nn.one_hot(a, k, dtype=jnp.float32) * m[:, None]
-            sums = sums + jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
-            counts = counts + onehot.sum(axis=0)
+            onehot = jax.nn.one_hot(a, k, dtype=jnp.bfloat16) * m[:, None].astype(jnp.bfloat16)
+            sums = sums + jnp.dot(onehot.T, x.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+            # f32 accumulation: a bf16 reduce loses integer precision >256
+            counts = counts + onehot.sum(axis=0, dtype=jnp.float32)
             return (sums, counts), None
 
         (sums, counts), _ = jax.lax.scan(

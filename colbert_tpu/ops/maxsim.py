@@ -89,9 +89,11 @@ def maxsim_pallas(
     nd, n, _ = D.shape
     Q, D = _apply_masks(Q, D, q_mask, d_mask)
 
-    # Tile so the MXU sees >=128 rows/cols where possible.
-    tq = block_q or max(1, _ceil_to(128, m) // m)
-    td = block_d or max(1, _ceil_to(128, n) // n)
+    # TPU block constraint: the OUTPUT tile's last dim must be a multiple of
+    # 128 (or the full array dim), and the second-to-last a multiple of 8 —
+    # so tile (8 queries x 128 docs); small corpora become one doc tile.
+    tq = block_q or 8
+    td = block_d or (128 if nd > 128 else _ceil_to(nd, 8))
     nq_p = _ceil_to(nq, tq)
     nd_p = _ceil_to(nd, td)
     if nq_p != nq:
@@ -152,6 +154,9 @@ def maxsim(
     """Dispatcher: Pallas on TPU backends, XLA elsewhere / under autodiff."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    # the doc tile is 128 docs x n rows; long ragged docs would blow VMEM
+    if use_pallas and D.shape[0] > 128 and 128 * D.shape[1] * D.shape[2] * 2 > (16 << 20):
+        use_pallas = False
     if use_pallas:
         return maxsim_pallas(Q, D, q_mask, d_mask)
     return maxsim_xla(Q, D, q_mask, d_mask)

@@ -21,14 +21,37 @@ SPECIALS = ["[PAD]"] + [f"[unused{i}]" for i in range(1, NUM_UNUSED + 1)] + ["[U
 
 def build_vocab(texts: Iterable[str], min_count: int = 1, max_size: int = 30000) -> List[str]:
     """Character-level vocab (the natural unit for Chinese BERT) plus
-    whole-word entries for ASCII words, mirroring WordPiece granularity."""
-    counter: Counter = Counter()
+    whole-word entries for alphanumeric words, mirroring WordPiece
+    granularity: every char appears both bare and as a ``##`` continuation
+    piece (the WordPiece fallback for unseen words), and the most frequent
+    words become whole tokens."""
+    import re
+
+    chars: Counter = Counter()
+    words: Counter = Counter()
+    word_re = re.compile(r"[a-z0-9]+")
     for t in texts:
-        for ch in t:
+        tl = t.lower()
+        for ch in tl:
             if ch.strip():
-                counter[ch] += 1
-    toks = [t for t, c in counter.most_common(max_size) if c >= min_count]
-    return SPECIALS + [t for t in toks if t not in set(SPECIALS)]
+                chars[ch] += 1
+        for w in word_re.findall(tl):
+            words[w] += 1
+    out = list(SPECIALS)
+    seen = set(out)
+    for ch, c in chars.most_common():
+        if c >= min_count and ch not in seen:
+            out.append(ch)
+            seen.add(ch)
+            out.append("##" + ch)
+            seen.add("##" + ch)
+    for w, c in words.most_common():
+        if len(out) >= max_size:
+            break
+        if c >= min_count and len(w) > 1 and w not in seen:
+            out.append(w)
+            seen.add(w)
+    return out[:max_size]
 
 
 def write_vocab(vocab: List[str], path: str | Path) -> str:

@@ -25,6 +25,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def oracle_topk(searcher, model, params, q_ids, q_attn, q_active, topk):
+    """Exact-MaxSim oracle that understands the int8 lane-packed table
+    (bench.exact_oracle_topk assumes a flat bf16 table)."""
+    from colbert_tpu.ops.maxsim import maxsim_xla
+
+    Q = model.apply({"params": params}, jnp.asarray(q_ids), jnp.asarray(q_attn), method=model.query)
+    Qm = Q * jnp.asarray(q_active, Q.dtype)[..., None]
+    nd, cap = searcher.num_docs, searcher.rerank_cap
+    if searcher.packed_int8:
+        D = searcher.emb_table.reshape(nd, searcher.nk, cap, 128)
+        D = jnp.transpose(D, (0, 2, 1, 3)).reshape(nd, cap, -1)
+        D = (D.astype(jnp.bfloat16) * searcher.emb_inv_scale.astype(jnp.bfloat16))
+    else:
+        D = searcher.emb_table.reshape(nd, cap, -1)
+    # chunk docs to bound the similarity transient at large corpora
+    B = Qm.shape[0]
+    chunk = max(1, min(nd, (1 << 30) // (cap * D.shape[-1] * 4)))
+    tops_s, tops_p = [], []
+    sc = jax.jit(lambda q, d: maxsim_xla(q.astype(jnp.bfloat16), d))
+    for lo in range(0, nd, chunk):
+        s = np.asarray(sc(Qm, D[lo : lo + chunk]))
+        k = min(topk, s.shape[1])
+        idx = np.argpartition(-s, k - 1, axis=1)[:, :k]
+        tops_s.append(np.take_along_axis(s, idx, axis=1))
+        tops_p.append(idx + lo)
+    s_all = np.concatenate(tops_s, axis=1)
+    p_all = np.concatenate(tops_p, axis=1)
+    order = np.argsort(-s_all, axis=1)[:, :topk]
+    return np.take_along_axis(p_all, order, axis=1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="20000,100000,200000")
@@ -33,6 +64,9 @@ def main():
     ap.add_argument("--rerank-dtype", default="int8")
     ap.add_argument("--oracle-max-docs", type=int, default=120000)
     ap.add_argument("--balance-factor", type=float, default=0.0)
+    ap.add_argument("--nprobe", type=int, default=128)
+    ap.add_argument("--depth", type=int, default=512)
+    ap.add_argument("--max-candidates", type=int, default=4096)
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -48,7 +82,8 @@ def main():
     from colbert_tpu.ranking.searcher import ColbertSearcher
 
     d_view = q_view = 16
-    dim, nprobe, depth, topk = 768, 128, 512, 100
+    dim, topk = 768, 100
+    nprobe, depth = args.nprobe, args.depth
     model_cfg = ModelConfig(dtype="bfloat16")
     mesh = make_mesh(-1, 1)
     model = ColbertModel(model_cfg, MultiviewConfig(enabled=True, q_view=q_view, d_view=d_view))
@@ -73,7 +108,7 @@ def main():
             index=IndexConfig(codec="sq", sq_dim=64, kmeans_iters=10,
                               balance_factor=args.balance_factor),
             serve=ServeConfig(nprobe=nprobe, candidate_depth=depth, topk=topk,
-                              max_candidates=4096, rerank_dtype=args.rerank_dtype),
+                              max_candidates=args.max_candidates, rerank_dtype=args.rerank_dtype),
             mesh=MeshConfig(data=-1, model=1),
         )
         t0 = time.time()
@@ -103,7 +138,7 @@ def main():
 
         recall = float("nan")
         if num_docs <= args.oracle_max_docs:
-            oracle = exact_oracle_topk(searcher, q_ids, q_attn, q_active, topk)
+            oracle = oracle_topk(searcher, model, params, q_ids, q_attn, q_active, topk)
             recall = float(np.mean([
                 len(set(res.pids[i]) & set(oracle[i])) / topk for i in range(args.batch)
             ]))
