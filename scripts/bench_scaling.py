@@ -67,6 +67,7 @@ def main():
     ap.add_argument("--nprobe", type=int, default=128)
     ap.add_argument("--depth", type=int, default=512)
     ap.add_argument("--max-candidates", type=int, default=4096)
+    ap.add_argument("--list-topr", type=int, default=8)
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -108,7 +109,8 @@ def main():
             index=IndexConfig(codec="sq", sq_dim=64, kmeans_iters=10,
                               balance_factor=args.balance_factor),
             serve=ServeConfig(nprobe=nprobe, candidate_depth=depth, topk=topk,
-                              max_candidates=args.max_candidates, rerank_dtype=args.rerank_dtype),
+                              max_candidates=args.max_candidates, rerank_dtype=args.rerank_dtype,
+                              probe_list_topr=args.list_topr),
             mesh=MeshConfig(data=-1, model=1),
         )
         t0 = time.time()
