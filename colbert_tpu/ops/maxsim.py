@@ -59,15 +59,22 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _maxsim_kernel(q_ref, d_ref, o_ref, *, tq, td, m, n):
-    # q_ref: (tq*m, h), d_ref: (td*n, h) tiles in VMEM, masks pre-multiplied.
-    sim = jax.lax.dot_general(
-        q_ref[:],
-        d_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (tq*m, td*n)
-    sim = sim.reshape(tq, m, td, n)
-    o_ref[:] = jnp.max(sim, axis=3).sum(axis=1)  # (tq, td)
+    # q_ref: (tq*m, h), d_ref: (n, td, h) tiles in VMEM, masks pre-multiplied.
+    # The max over doc rows runs as an unrolled loop over the doc-row index
+    # (a (tq*m, td*n) -> (tq, m, td, n) reshape would split the LANE dim,
+    # which Mosaic cannot shape-cast); masked rows are zero vectors, so
+    # sim=0 participates in the max exactly like the reference.
+    q = q_ref[:]
+    acc = None
+    for nn in range(n):
+        s = jax.lax.dot_general(
+            q, d_ref[nn],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (tq*m, td)
+        acc = s if acc is None else jnp.maximum(acc, s)
+    # sum over query views: leading-dim split is a legal relayout
+    o_ref[:] = acc.reshape(tq, m, td).sum(axis=1)  # (tq, td)
 
 
 def maxsim_pallas(
@@ -102,7 +109,7 @@ def maxsim_pallas(
         D = jnp.pad(D, ((0, nd_p - nd), (0, 0), (0, 0)))
 
     qf = Q.reshape(nq_p * m, h)
-    df = D.reshape(nd_p * n, h)
+    df = jnp.transpose(D, (1, 0, 2))  # (n, nd_p, h): doc-row-major tiles
 
     grid = (nq_p // tq, nd_p // td)
     out = pl.pallas_call(
@@ -111,7 +118,7 @@ def maxsim_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((tq * m, h), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((td * n, h), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, td, h), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tq, td), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
