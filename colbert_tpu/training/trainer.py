@@ -106,6 +106,16 @@ class ColbertTrainer:
         model, T = self.model, self.cfg.train.score_temperature
         group = self.cfg.train.train_num_positives + self.cfg.train.train_num_negatives
         accum = max(1, self.cfg.train.grad_accum_steps)
+        if accum > 1:
+            bs = self.cfg.train.per_device_batch_size * self.mesh.shape["data"]
+            logger.warning(
+                "grad_accum_steps=%d: in-batch negatives stay within each "
+                "micro-batch, so the softmax sees %d docs per query instead of "
+                "the full batch's %d — a smaller negative pool than the same "
+                "global batch without accumulation (loss definition changes; "
+                "reference parity holds only at grad_accum_steps=1)",
+                accum, (bs // accum) * group, bs * group,
+            )
 
         def loss_for(params, rng, q_ids, q_attn, q_active, d_ids, d_attn, d_active):
             Q = model.apply(
