@@ -60,6 +60,18 @@ class ModelConfig:
     dim: int = 768
     # compute dtype for the encoder under jit; params stay fp32
     dtype: str = "bfloat16"
+    # attention backend: "xla" (einsum + fp32 softmax), "flash" (fused Pallas
+    # flash-attention kernel: no (B,h,L,L) HBM intermediate, fwd+bwd), or
+    # "auto" (flash on TPU when the sequence length is a 128 multiple).
+    # The flash kernel has no attention-probs dropout; when
+    # attention_dropout > 0 an equivalent-strength dropout is applied to the
+    # attention OUTPUT instead (documented deviation; same parameter tree).
+    attention_impl: str = "auto"
+    # activation rematerialization for the encoder layers: "none", "dots"
+    # (save only matmul outputs), or "full" (save nothing; recompute all).
+    # Trades ~30% extra fwd FLOPs for O(L) activation memory — enables much
+    # larger per-chip batches.
+    remat: str = "none"
 
 
 @dataclass
@@ -111,6 +123,16 @@ class TrainConfig:
     train_num_positives: int = 1
     train_num_negatives: int = 1
     train_negative_pool: int = 50
+    # PRNG implementation for dropout keys: "rbg" uses the TPU hardware RNG
+    # (threefry generates bits with scalar ALU ops — measured a large slice
+    # of the step at seq 384); "threefry" is JAX's default splittable PRNG.
+    rng_impl: str = "rbg"
+    # doc-length bucketing: per batch, truncate the doc arrays to the
+    # smallest listed length >= the batch's longest doc (static-shape
+    # analogue of the reference's truncate-to-batch-max, encoder.py:171-172;
+    # one XLA compile per bucket).  Multiples of 128 keep the flash-attention
+    # auto path active.  Empty = always pad to tokenizer.doc_maxlen.
+    doc_length_buckets: Tuple[int, ...] = ()
     eval_num_positives: int = 2
     eval_num_negatives: int = 8
     # evaluation / checkpoint cadence: twice per epoch
@@ -137,6 +159,7 @@ class CETrainConfig:
     eval_topk: int = 100              # rerank top-100 (ce_test_args.eval_topk)
     max_grad_norm: float = 1.0
     seed: int = 1234
+    rng_impl: str = "rbg"             # see TrainConfig.rng_impl
     # eval + checkpoint cadence: same half-epoch machinery as the retriever
     # (reference runs CE through the same callbacks, mytrainer_callbacks.py:31-35)
     evals_per_epoch: int = 2

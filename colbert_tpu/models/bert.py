@@ -14,6 +14,7 @@ hidden states, ``BaseModel.py:30,35``).  Re-designed rather than ported:
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import flax.linen as nn
@@ -43,11 +44,24 @@ class BertEmbeddings(nn.Module):
         return nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
 
 
+def _use_flash(cfg: ModelConfig, seq_len: int) -> bool:
+    if cfg.attention_impl == "xla":
+        return False
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if cfg.attention_impl == "flash":
+        if not on_tpu:
+            raise ValueError("attention_impl='flash' requires a TPU backend")
+        return True
+    # auto: the Pallas kernel needs 128-multiple sequence blocks; short
+    # query sequences (32) stay on the XLA path (attention is ~free there)
+    return on_tpu and seq_len % 128 == 0 and seq_len >= 128
+
+
 class BertSelfAttention(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, bias, deterministic: bool):
+    def __call__(self, x, bias, attention_mask, deterministic: bool):
         c = self.cfg
         h, nh = c.hidden_size, c.num_heads
         hd = h // nh
@@ -56,12 +70,33 @@ class BertSelfAttention(nn.Module):
         q = dense("query")(x).reshape(*x.shape[:2], nh, hd)
         k = dense("key")(x).reshape(*x.shape[:2], nh, hd)
         v = dense("value")(x).reshape(*x.shape[:2], nh, hd)
-        # fp32 logits + softmax for stability, bf16 everywhere else
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        logits = logits / jnp.sqrt(hd).astype(jnp.float32) + bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(_dtype(c))
-        probs = nn.Dropout(c.attention_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(*x.shape[:2], h)
+        if _use_flash(c, x.shape[1]):
+            # fused flash-attention kernel: the (B, nh, L, L) logits/probs
+            # never hit HBM (recomputed in bwd) — the XLA path materializes
+            # them in fp32, ~240 MB/layer at the training operating point.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention,
+            )
+
+            seg = attention_mask.astype(jnp.int32)
+            ctx = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=float(1.0 / math.sqrt(hd)),
+            )
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(*x.shape[:2], h)
+            # the kernel has no probs-dropout; apply the same rate to the
+            # attention output instead (documented deviation, ~70x fewer
+            # random bits than the (B, nh, L, L) probs mask)
+            ctx = nn.Dropout(c.attention_dropout)(ctx, deterministic=deterministic)
+        else:
+            # fp32 logits + softmax for stability, bf16 everywhere else
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            logits = logits / jnp.sqrt(hd).astype(jnp.float32) + bias
+            probs = jax.nn.softmax(logits, axis=-1).astype(_dtype(c))
+            probs = nn.Dropout(c.attention_dropout)(probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(*x.shape[:2], h)
         return nn.Dense(h, kernel_init=init, dtype=_dtype(c), name="out")(ctx)
 
 
@@ -69,10 +104,10 @@ class BertLayer(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, bias, deterministic: bool):
+    def __call__(self, x, bias, attention_mask, deterministic: bool):
         c = self.cfg
         init = nn.initializers.normal(c.initializer_range)
-        attn = BertSelfAttention(c, name="attention")(x, bias, deterministic)
+        attn = BertSelfAttention(c, name="attention")(x, bias, attention_mask, deterministic)
         attn = nn.Dropout(c.hidden_dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=_dtype(c), name="attention_layernorm")(x + attn)
         y = nn.Dense(c.intermediate_size, kernel_init=init, dtype=_dtype(c), name="intermediate")(x)
@@ -101,6 +136,13 @@ class BertEncoder(nn.Module):
         x = BertEmbeddings(c, name="embeddings")(input_ids, token_type_ids, deterministic)
         # additive mask bias, fp32: 0 for attend, -1e9 for masked
         bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
+        layer_cls = BertLayer
+        if c.remat != "none":
+            policy = {
+                "dots": jax.checkpoint_policies.checkpoint_dots,
+                "full": jax.checkpoint_policies.nothing_saveable,
+            }[c.remat]
+            layer_cls = nn.remat(BertLayer, policy=policy, static_argnums=(4,))
         for i in range(c.num_layers):
-            x = BertLayer(c, name=f"layer_{i}")(x, bias, deterministic)
+            x = layer_cls(c, name=f"layer_{i}")(x, bias, attention_mask, deterministic)
         return x

@@ -106,7 +106,7 @@ class ShardedColbertSearcher:
         params: Any,
         storage: IndexStorage,
         mesh: Optional[Mesh] = None,
-        rerank_dtype=jnp.bfloat16,
+        rerank_dtype=None,
     ):
         self.cfg = cfg
         self.tok = tokenizer
@@ -114,6 +114,10 @@ class ShardedColbertSearcher:
         self.n_shards = self.mesh.shape[AXES.data]
         self.model = ColbertModel(cfg.model, cfg.multiview)
         self.params = jax.device_put(params, param_shardings(params, self.mesh))
+        if rerank_dtype is None:
+            rerank_dtype = {
+                "bfloat16": jnp.bfloat16, "float32": jnp.float32, "int8": jnp.int8,
+            }[cfg.serve.rerank_dtype]
 
         meta = storage.read_meta()
         ivf = storage.read_ivf()
@@ -123,6 +127,36 @@ class ShardedColbertSearcher:
                 "grows with corpus x tokens); use codec='sq' for sharded serving"
             )
         sh = shard_index(storage, self.n_shards)
+        dl_all_np = np.asarray(storage.read_doclens())
+        from colbert_tpu.ranking.searcher import _meta_d_view
+
+        self.rerank_cap = (
+            _meta_d_view(meta, cfg) if meta.get("multiview", True)
+            else max(1, int(dl_all_np.max()))
+        )
+        self.uniform_doclen = bool(len(dl_all_np) and (dl_all_np == self.rerank_cap).all())
+        self.packed_int8 = rerank_dtype == jnp.int8
+        dim = int(meta["dim"])
+        if self.packed_int8:
+            # beyond-HBM x multi-chip: each shard's table is int8 lane-packed
+            # with ONE global per-dim scale (scores merge across shards, so
+            # per-shard scales would skew the all-gather top-k)
+            from colbert_tpu.ops.rerank_pallas import pack_int8_table, quantize_emb_table
+
+            if not self.uniform_doclen:
+                raise ValueError(
+                    "rerank_dtype=int8 requires a uniform-doclen (multiview) corpus"
+                )
+            S, max_embs, _ = sh["emb_table"].shape
+            q8, scale = quantize_emb_table(sh["emb_table"].reshape(S * max_embs, dim))
+            q8 = q8.reshape(S, max_embs, dim)
+            emb_shard = np.stack(
+                [pack_int8_table(q8[s], self.rerank_cap) for s in range(S)]
+            )
+            self.emb_inv_scale = jnp.asarray(1.0 / scale, jnp.float32)
+        else:
+            emb_shard = sh["emb_table"].astype(np.float32)
+            self.emb_inv_scale = None
         shard0 = NamedSharding(self.mesh, P(AXES.data))
         put = lambda a, dt=None: jax.device_put(jnp.asarray(a, dt), shard0)
         self.arrays = {
@@ -131,7 +165,7 @@ class ShardedColbertSearcher:
             "pid_by_row": put(sh["pid_by_row"], jnp.int32),
             "offsets": put(sh["offsets"], jnp.int32),
             "emb2pid": put(sh["emb2pid"], jnp.int32),
-            "emb_table": put(sh["emb_table"].astype(np.float32), rerank_dtype),
+            "emb_table": put(emb_shard, jnp.int8 if self.packed_int8 else rerank_dtype),
             "doc_offsets": put(sh["doc_offsets"], jnp.int32),
             "doclens": put(sh["doclens"], jnp.int32),
             "pid_base": put(sh["pid_base"], jnp.int32),
@@ -151,16 +185,9 @@ class ShardedColbertSearcher:
         lens = sh["offsets"][:, 1:] - sh["offsets"][:, :-1]
         self.max_list_len = max(1, int(lens.max()))
         self.num_docs = int(np.asarray(storage.read_meta()["num_docs"]))
-        from colbert_tpu.ranking.searcher import _meta_d_view
-
-        self.rerank_cap = (
-            _meta_d_view(meta, cfg) if meta.get("multiview", True)
-            else max(1, int(np.asarray(storage.read_doclens()).max()))
-        )
-        # uniform doclens (multiview): shard padding keeps the doc-major
-        # layout intact (padded docs have len 0 and are masked)
-        dl_all = np.asarray(storage.read_doclens())
-        self.uniform_doclen = bool(len(dl_all) and (dl_all == self.rerank_cap).all())
+        # (rerank_cap / uniform_doclen computed above, before table packing;
+        # shard padding keeps the doc-major layout intact — padded docs have
+        # len 0 and probe rows in padding map to pid -1)
         self._fns: Dict[Tuple, Any] = {}
 
     def _make_fn(self, topk, nprobe, depth, cap, max_cand, query_chunk):
@@ -171,8 +198,10 @@ class ShardedColbertSearcher:
         uniform = self.uniform_doclen
         k_local = min(topk, max_cand)
 
+        packed_int8 = self.packed_int8
+
         def local(coarse, quant, codes, pid_by_row, offsets,
-                  emb_table, doc_offsets, doclens, pid_base, Qm, qm):
+                  emb_table, doc_offsets, doclens, pid_base, Qm, qm, emb_inv_scale):
             # shard_map gives blocks with the leading shard axis of size 1
             sq = lambda a: a[0]
             probe_fn = make_probe_fn(
@@ -191,6 +220,7 @@ class ShardedColbertSearcher:
                 uniform_doclen=uniform,
                 candidate_ranking=self.cfg.serve.candidate_ranking,
                 rerank_kernel=self.cfg.serve.rerank_kernel,
+                emb_inv_scale=emb_inv_scale, packed_int8=packed_int8,
             )
             tp = jnp.where(tp >= 0, tp + sq(pid_base)[0], -1)
             # ICI merge: gather every shard's local top-k, reduce to global top-k
@@ -208,12 +238,13 @@ class ShardedColbertSearcher:
                 P(), quant_spec,                # coarse + quantizer (replicated)
                 P(data), P(data), P(data), P(data), P(data), P(data), P(data),
                 P(), P(),                       # Qm, qm replicated
+                P(),                            # emb_inv_scale (replicated)
             ),
             out_specs=(P(), P()),
             check_rep=False,
         )
 
-        def fn(params, coarse, quant, arrays, Qm_inputs):
+        def fn(params, coarse, quant, arrays, Qm_inputs, emb_inv_scale):
             # index arrays are jit ARGUMENTS, never closure constants — a
             # closed-over device array gets baked into the serialized HLO
             # (hundreds of MB for the embedding table)
@@ -225,7 +256,7 @@ class ShardedColbertSearcher:
             return sharded(
                 coarse, quant, a["codes"], a["pid_by_row"], a["offsets"],
                 a["emb_table"], a["doc_offsets"], a["doclens"], a["pid_base"],
-                Qm, qm,
+                Qm, qm, emb_inv_scale,
             )
 
         return jax.jit(fn)
@@ -245,8 +276,13 @@ class ShardedColbertSearcher:
         key = (topk, nprobe, depth, cap, max_cand, query_chunk)
         if key not in self._fns:
             self._fns[key] = self._make_fn(*key)
+        inv = (
+            self.emb_inv_scale
+            if self.emb_inv_scale is not None
+            else jnp.ones((1,), jnp.float32)
+        )
         ts, tp = self._fns[key](
             self.params, self.coarse, self.quant, self.arrays,
-            (jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active)),
+            (jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active)), inv,
         )
         return SearchResult(np.asarray(tp), np.asarray(ts))

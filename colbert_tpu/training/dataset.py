@@ -120,7 +120,19 @@ class RetrievalSampler:
             docs += self._sample_docs(self.ds[i])
         q = self.tok.encode_queries(questions)
         d = self.tok.encode_docs(docs)
-        return TrainBatch(q.input_ids, q.attention_mask, q.active_mask, d.input_ids, d.attention_mask, d.active_mask)
+        d_ids, d_attn, d_active = d.input_ids, d.attention_mask, d.active_mask
+        buckets = tuple(self.cfg.doc_length_buckets or ())
+        if buckets:
+            # truncate the (all-PAD) tail to the smallest bucket that fits
+            # the batch's longest doc — static shapes, one compile per bucket
+            full = d_ids.shape[1]
+            longest = int(d_attn.sum(axis=1).max(initial=1))
+            L = next((b for b in sorted(buckets) if b >= longest), full)
+            L = min(L, full)
+            d_ids, d_attn = d_ids[:, :L], d_attn[:, :L]
+            if d_active.shape[1] == full:  # token-wise mask (non-multiview)
+                d_active = d_active[:, :L]
+        return TrainBatch(q.input_ids, q.attention_mask, q.active_mask, d_ids, d_attn, d_active)
 
     def epoch(self, epoch_idx: int = 0, prefetch: int = 2) -> Iterator[TrainBatch]:
         """Yield tokenized batches; tokenization overlaps the device step via

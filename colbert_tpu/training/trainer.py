@@ -63,7 +63,9 @@ class ColbertTrainer:
         self.tok = tokenizer
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.data, cfg.mesh.model)
         self.model = ColbertModel(cfg.model, cfg.multiview)
-        self.rng = jax.random.PRNGKey(cfg.train.seed)
+        # typed key so dropout bits use the configured PRNG (rbg = TPU
+        # hardware RNG; threefry random-bit generation is scalar-ALU-bound)
+        self.rng = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
         self._total_steps = total_steps
         self._init_params = init_params
         self.state: Optional[TrainState] = None

