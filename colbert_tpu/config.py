@@ -242,6 +242,13 @@ class ServeConfig:
     # capacity would otherwise truncate pairs).  Must exceed the number of
     # lists probed by >1024 tokens of a batch (46 at the bench point).
     probe_hot_lists: int = 64
+    # candidate dedup implementation: "packed" sorts ONE int32 per entry
+    # (pid+token key in the high bits, per-query-quantized score in the low
+    # bits) and selects the budget with approx_max_k — recall-safe (the
+    # output feeds an exact re-rank; only membership matters) and ~2x the
+    # two-operand sort + exact top_k.  "exact" keeps fp32 scores end-to-end.
+    # "auto" = packed on TPU when the key fits 31 bits, exact elsewhere.
+    dedup_impl: str = "auto"
     # exact re-rank backend: "pallas" (fused DMA-streamed gather+MaxSim
     # kernel; measured 253 -> 306 QPS on v5e at identical recall) or "xla"
     # (gather + einsum).  pallas applies to uniform-doclen corpora with

@@ -398,6 +398,82 @@ def dedup_pids_by_approx_maxsim(
     return out_pids, top_s
 
 
+def dedup_pids_by_approx_maxsim_packed(
+    pids: jax.Array,       # (n,) candidate pid per (token, depth-slot), -1 invalid
+    token_ids: jax.Array,  # (n,) query-token index of each slot
+    scores: jax.Array,     # (n,) codec score of each slot (-inf invalid)
+    num_tokens: int,
+    max_out: int,
+    num_docs: int,
+    approx_sel: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fast-path :func:`dedup_pids_by_approx_maxsim`: same candidate-selection
+    semantics, built for the TPU sort unit.
+
+    Two changes, both recall-safe because the output feeds an EXACT MaxSim
+    re-rank (only WHICH pids pass matters, not their order or exact scores):
+
+    * the ``(pid, token)`` key and the score are packed into ONE int32
+      (key in the high bits, the score quantized per query into the low
+      bits) — a single-operand sort moves half the bytes of the
+      ``(key, payload)`` sort, and the per-(pid, token) run max is simply
+      the run's LAST element (low bits sort ascending within a run);
+    * the final budget selection uses ``approx_max_k`` (the ~2x TPU top-k)
+      instead of an exact ``top_k(max_out of n)`` — at ``max_out = n/2``
+      the exact form is nearly a second full sort.
+
+    Requires ``ceil(log2(num_docs * num_tokens)) + 6 <= 31``; callers fall
+    back to the exact form otherwise (see :func:`dedup_dispatch`).
+    """
+    n = pids.shape[0]
+    kt_bits = max(1, int(np.ceil(np.log2(max(2, num_docs * num_tokens)))))
+    sbits = min(12, 31 - kt_bits)
+    if sbits < 6:
+        raise ValueError("pid*token key too wide to pack; use the exact dedup")
+    levels = (1 << sbits) - 1
+
+    valid = (pids >= 0) & jnp.isfinite(scores)
+    lo = jnp.min(jnp.where(valid, scores, jnp.inf))
+    hi = jnp.max(jnp.where(valid, scores, -jnp.inf))
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    hi = jnp.where(hi > lo, hi, lo + 1.0)
+    step = (hi - lo) / levels
+    q = jnp.clip(jnp.round((scores - lo) / step), 0, levels).astype(jnp.int32)
+    kt = pids * num_tokens + token_ids                      # (n,) < 2^kt_bits
+    big = jnp.iinfo(jnp.int32).max
+    packed = jnp.where(valid, (kt << sbits) | q, big)
+
+    sp = jax.lax.sort(packed)                                # single-operand sort
+    rk = jnp.where(sp != big, sp >> sbits, -1)               # (pid, token) run id
+    run_last = jnp.concatenate([rk[1:] != rk[:-1], jnp.ones((1,), bool)])
+    # run max = last element's low bits (ascending within a run)
+    run_max = lo + (sp & levels).astype(jnp.float32) * step
+
+    spid = jnp.where(rk >= 0, rk // num_tokens, -1)
+    pid_first = jnp.concatenate([jnp.ones((1,), bool), spid[1:] != spid[:-1]])
+
+    def combine(a, b):
+        aval, areset = a
+        bval, breset = b
+        return jnp.where(breset, bval, aval + bval), areset | breset
+
+    contrib = jnp.where(run_last & (spid >= 0), run_max, 0.0)
+    doc_sum, _ = jax.lax.associative_scan(combine, (contrib, pid_first))
+    pid_last = jnp.concatenate([pid_first[1:], jnp.ones((1,), bool)])
+    doc_score = jnp.where(pid_last & (spid >= 0), doc_sum, -jnp.inf)
+
+    k = min(max_out, n)
+    if approx_sel and jax.default_backend() not in ("cpu",):
+        top_s, top_i = jax.lax.approx_max_k(doc_score, k)
+    else:
+        top_s, top_i = jax.lax.top_k(doc_score, k)
+    out_pids = jnp.where(jnp.isfinite(top_s), spid[top_i], -1).astype(jnp.int32)
+    if k < max_out:
+        out_pids = jnp.pad(out_pids, (0, max_out - k), constant_values=-1)
+        top_s = jnp.pad(top_s, (0, max_out - k), constant_values=-jnp.inf)
+    return out_pids, top_s
+
+
 def dedup_pids_by_score(
     pids: jax.Array, scores: jax.Array, max_out: int
 ) -> Tuple[jax.Array, jax.Array]:

@@ -127,6 +127,7 @@ def retrieval_core(
     rerank_kernel: str = "xla",
     emb_inv_scale: Optional[jax.Array] = None,
     packed_int8: bool = False,
+    dedup_impl: str = "auto",
     stop_stage: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Everything after query encode: probe -> candidate scores -> dedup ->
@@ -170,7 +171,20 @@ def retrieval_core(
 
     token_ids = jnp.repeat(jnp.arange(q_view, dtype=jnp.int32), depth)
     if candidate_ranking == "approx_maxsim":
-        dedup = lambda pp, ss: dedup_pids_by_approx_maxsim(pp, token_ids, ss, q_view, max_cand)
+        kt_bits = int(np.ceil(np.log2(max(2, num_docs * q_view))))
+        use_packed = dedup_impl == "packed" or (
+            dedup_impl == "auto"
+            and jax.default_backend() not in ("cpu", "gpu")
+            and 31 - kt_bits >= 6
+        )
+        if use_packed:
+            from colbert_tpu.ops.ivf import dedup_pids_by_approx_maxsim_packed
+
+            dedup = lambda pp, ss: dedup_pids_by_approx_maxsim_packed(
+                pp, token_ids, ss, q_view, max_cand, num_docs
+            )
+        else:
+            dedup = lambda pp, ss: dedup_pids_by_approx_maxsim(pp, token_ids, ss, q_view, max_cand)
     else:
         dedup = lambda pp, ss: dedup_pids_by_score(pp, ss, max_cand)
 
@@ -403,6 +417,7 @@ class ColbertSearcher:
                 uniform_doclen=uniform, candidate_ranking=ranking,
                 rerank_kernel=self.cfg.serve.rerank_kernel,
                 emb_inv_scale=emb_inv_scale, packed_int8=packed_int8,
+                dedup_impl=self.cfg.serve.dedup_impl,
                 stop_stage=stop_stage,
             )
 

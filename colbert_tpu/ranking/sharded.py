@@ -221,6 +221,7 @@ class ShardedColbertSearcher:
                 candidate_ranking=self.cfg.serve.candidate_ranking,
                 rerank_kernel=self.cfg.serve.rerank_kernel,
                 emb_inv_scale=emb_inv_scale, packed_int8=packed_int8,
+                dedup_impl=self.cfg.serve.dedup_impl,
             )
             tp = jnp.where(tp >= 0, tp + sq(pid_base)[0], -1)
             # ICI merge: gather every shard's local top-k, reduce to global top-k

@@ -45,7 +45,7 @@ class CETrainer:
         self.tok = tokenizer
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.data, cfg.mesh.model)
         self.model = CrossEncoderModel(cfg.ce_model)
-        self.rng = jax.random.key(cfg.ce_train.seed, impl=cfg.ce_train.rng_impl)
+        self.rng = jax.random.key(cfg.ce_train.seed, impl={"threefry": "threefry2x32"}.get(cfg.ce_train.rng_impl, cfg.ce_train.rng_impl))
         self.np_rng = np.random.default_rng(cfg.ce_train.seed)
         self._init_params = init_params
         self.state: Optional[TrainState] = None

@@ -65,7 +65,7 @@ class ColbertTrainer:
         self.model = ColbertModel(cfg.model, cfg.multiview)
         # typed key so dropout bits use the configured PRNG (rbg = TPU
         # hardware RNG; threefry random-bit generation is scalar-ALU-bound)
-        self.rng = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
+        self.rng = jax.random.key(cfg.train.seed, impl={"threefry": "threefry2x32"}.get(cfg.train.rng_impl, cfg.train.rng_impl))
         self._total_steps = total_steps
         self._init_params = init_params
         self.state: Optional[TrainState] = None

@@ -86,7 +86,7 @@ def main():
         def step(state, key):
             loss, grads = jax.value_and_grad(loss_for)(state.params, key)
             return state.apply_gradients(grads=grads), loss
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step)  # no donation: `state` is reused across variants
 
     # flops estimate: encoder matmuls (6*P*tokens fwd+bwd) + attention
     n_enc = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params)) - mc.vocab_size * mc.hidden_size
@@ -101,7 +101,7 @@ def main():
 
     flash = dataclasses.replace(mc, attention_impl="flash")
     variants = [
-        ("xla+threefry", mc, "threefry", False, "step"),
+        ("xla+threefry", mc, "threefry2x32", False, "step"),
         ("xla+rbg", mc, "rbg", False, "step"),
         ("flash+rbg", flash, "rbg", False, "step"),
         ("flash+rbg+nodrop", flash, "rbg", True, "step"),

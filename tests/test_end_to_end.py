@@ -193,3 +193,19 @@ def test_pallas_rerank_matches_xla(tmp_path):
     b = s2.search(queries, topk=5)
     np.testing.assert_array_equal(a.pids, b.pids)
     np.testing.assert_allclose(a.scores, b.scores, rtol=2e-2, atol=2e-2)
+
+
+def test_packed_dedup_matches_default(setup):
+    """serve.dedup_impl='packed' (int32-packed sort + quantized scores) must
+    reach the same results as the exact dedup through the full pipeline."""
+    import dataclasses
+
+    cfg, tok, params, storage, searcher, texts = setup
+    cfg2 = dataclasses.replace(cfg, serve=dataclasses.replace(cfg.serve, dedup_impl="packed"))
+    s2 = ColbertSearcher(cfg2, tok, params, storage, mesh=searcher.mesh)
+    queries = ["apple fruit", "ocean wave", "piano music"]
+    a = searcher.search(queries, topk=5, nprobe=8, depth=64)
+    b = s2.search(queries, topk=5, nprobe=8, depth=64)
+    # candidate sets may differ at quantization ties; the exact re-rank makes
+    # final scores comparable
+    np.testing.assert_allclose(np.asarray(b.scores), np.asarray(a.scores), rtol=2e-2, atol=2e-2)

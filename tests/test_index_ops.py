@@ -253,3 +253,50 @@ class TestBalancedAssign:
         bal = build(1.25, tmp_path / "b")
         cap = int(np.ceil(num_docs * d_view / 16 * 1.25))
         assert bal <= cap < unbal
+
+
+def test_dedup_packed_matches_exact():
+    """The packed-key dedup (one int32 sort + quantized scores) must select
+    the same candidate SET as the exact form (scores approximate — only
+    membership matters, the output feeds an exact re-rank)."""
+    from colbert_tpu.ops.ivf import (
+        dedup_pids_by_approx_maxsim,
+        dedup_pids_by_approx_maxsim_packed,
+    )
+
+    rng = np.random.default_rng(0)
+    num_docs, qv, depth = 300, 4, 64
+    n = qv * depth
+    pids = rng.integers(0, num_docs, n).astype(np.int32)
+    pids[rng.random(n) < 0.1] = -1
+    toks = np.repeat(np.arange(qv, dtype=np.int32), depth)
+    scores = rng.normal(size=n).astype(np.float32) * 3 + 10
+    scores[pids < 0] = -np.inf
+    max_out = 64
+
+    ep, es = dedup_pids_by_approx_maxsim(
+        jnp.asarray(pids), jnp.asarray(toks), jnp.asarray(scores), qv, max_out)
+    pp, ps = dedup_pids_by_approx_maxsim_packed(
+        jnp.asarray(pids), jnp.asarray(toks), jnp.asarray(scores), qv, max_out,
+        num_docs, approx_sel=False)
+    eset = set(int(p) for p in np.asarray(ep) if p >= 0)
+    pset = set(int(p) for p in np.asarray(pp) if p >= 0)
+    # membership agreement (quantization can flip ties at the budget edge)
+    assert len(eset & pset) >= 0.95 * len(eset), (len(eset & pset), len(eset))
+    # approximate scores track the exact ones
+    em = {int(p): float(s) for p, s in zip(np.asarray(ep), np.asarray(es)) if p >= 0}
+    pm = {int(p): float(s) for p, s in zip(np.asarray(pp), np.asarray(ps)) if p >= 0}
+    span = max(em.values()) - min(em.values())
+    for p in eset & pset:
+        assert abs(em[p] - pm[p]) < 0.02 * span + 0.05, (p, em[p], pm[p])
+
+
+def test_dedup_packed_all_invalid():
+    from colbert_tpu.ops.ivf import dedup_pids_by_approx_maxsim_packed
+
+    pids = jnp.full((8,), -1, jnp.int32)
+    toks = jnp.zeros((8,), jnp.int32)
+    scores = jnp.full((8,), -np.inf, jnp.float32)
+    p, s = dedup_pids_by_approx_maxsim_packed(pids, toks, scores, 2, 4, 100, approx_sel=False)
+    assert (np.asarray(p) == -1).all()
+    assert not np.isfinite(np.asarray(s)).any()

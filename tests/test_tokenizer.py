@@ -99,3 +99,45 @@ def test_tokenizer_from_directory(vocab_path, tmp_path):
     )
     b = tok.encode_queries(["中国的首都"])
     assert b.input_ids.shape == (1, 16)
+
+
+def test_train_wordpiece_learns_merges(tmp_path):
+    """train_wordpiece produces real subword merges: frequent words become
+    whole pieces, rare words segment into learned multi-char subwords
+    (VERDICT r2 item 9 — the char+word builder fragmented rare identifiers
+    to single characters)."""
+    from colbert_tpu.tokenization import train_wordpiece, write_vocab
+
+    texts = (
+        ["the tokenizer tokenizes tokens"] * 50
+        + ["tokenization matters for retrieval quality"] * 30
+        + ["中国的首都是北京"] * 10
+    )
+    vocab = train_wordpiece(texts, vocab_size=400, min_count=2)
+    multi = [v for v in vocab if not v.startswith("[") and len(v.lstrip("#")) > 1]
+    assert len(multi) > 5, multi  # real merges happened
+    assert "token" in vocab or "tokeniz" in vocab or any(
+        v.startswith("token") for v in multi
+    ), multi
+    # CJK stays char-level (no merged CJK pieces)
+    assert all(len(v) == 1 or not any("一" <= c <= "鿿" for c in v) for v in vocab)
+
+    # the learned vocab drives the standard tokenizer: a trained-on word
+    # segments into FEWER pieces than characters
+    vp = write_vocab(vocab, tmp_path / "wp.txt")
+    tok = ColbertTokenizer(
+        TokenizerConfig(vocab_path=str(vp), query_maxlen=32, doc_maxlen=32),
+        MultiviewConfig(enabled=False),
+    )
+    pieces = tok.tok.tokenize("tokenizer")
+    assert 1 <= len(pieces) < len("tokenizer"), pieces
+
+
+def test_train_wordpiece_min_count_and_budget():
+    from colbert_tpu.tokenization import train_wordpiece
+
+    texts = ["aaa bbb aaa ccc"] * 3 + ["unique"]
+    small = train_wordpiece(texts, vocab_size=80, min_count=2)
+    assert len(small) <= 80
+    # singleton word contributes no merges
+    assert "unique" not in small
