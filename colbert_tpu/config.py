@@ -62,11 +62,29 @@ class ModelConfig:
     dtype: str = "bfloat16"
     # attention backend: "xla" (einsum + fp32 softmax), "flash" (fused Pallas
     # flash-attention kernel: no (B,h,L,L) HBM intermediate, fwd+bwd), or
-    # "auto" (flash on TPU when the sequence length is a 128 multiple).
+    # "auto" (currently = xla: measured on v5e at the reference operating
+    # point, the generic flash kernel is SLOWER for BERT-base at seq 384 —
+    # 375.5 vs 288.5 ms/step; its bwd pass dominates.  flash remains
+    # selectable for long-sequence models where it wins).
     # The flash kernel has no attention-probs dropout; when
     # attention_dropout > 0 an equivalent-strength dropout is applied to the
     # attention OUTPUT instead (documented deviation; same parameter tree).
     attention_impl: str = "auto"
+    # dropout PRNG width: "byte" draws an 8-bit field per element — 4 mask
+    # bytes per threefry word, with the drop probability quantized to 1/256
+    # (0.1 -> 26/256).  Measured: dropout bit-generation was 108 ms of the
+    # 288 ms train step (xla+nodrop bisect), almost all of it the
+    # (B, h, L, L) attention-probs masks.  "exact" is flax nn.Dropout (one
+    # 32-bit draw per element).  "hw" generates mask bytes with the TPU
+    # per-core hardware PRNG in a zero-residual Pallas kernel
+    # (ops/dropout_pallas.py) — the mask is regenerated in bwd, never
+    # stored.
+    dropout_impl: str = "byte"
+    # where attention dropout acts: "probs" (reference semantics: drop
+    # attention probabilities, hf BertSelfAttention) or "output" (drop the
+    # attended context instead — L x fewer random bits at equal rate; the
+    # flash path always does this).
+    attention_dropout_site: str = "probs"
     # activation rematerialization for the encoder layers: "none", "dots"
     # (save only matmul outputs), or "full" (save nothing; recompute all).
     # Trades ~30% extra fwd FLOPs for O(L) activation memory — enables much
@@ -123,10 +141,11 @@ class TrainConfig:
     train_num_positives: int = 1
     train_num_negatives: int = 1
     train_negative_pool: int = 50
-    # PRNG implementation for dropout keys: "rbg" uses the TPU hardware RNG
-    # (threefry generates bits with scalar ALU ops — measured a large slice
-    # of the step at seq 384); "threefry" is JAX's default splittable PRNG.
-    rng_impl: str = "rbg"
+    # PRNG implementation for dropout keys: "threefry" (JAX default) or
+    # "rbg" (XLA RngBitGenerator).  Measured on v5e at the reference
+    # operating point: rbg is 2.1x SLOWER end-to-end (613 vs 288 ms/step) —
+    # keep threefry unless a future runtime changes that.
+    rng_impl: str = "threefry"
     # doc-length bucketing: per batch, truncate the doc arrays to the
     # smallest listed length >= the batch's longest doc (static-shape
     # analogue of the reference's truncate-to-batch-max, encoder.py:171-172;
@@ -159,7 +178,7 @@ class CETrainConfig:
     eval_topk: int = 100              # rerank top-100 (ce_test_args.eval_topk)
     max_grad_norm: float = 1.0
     seed: int = 1234
-    rng_impl: str = "rbg"             # see TrainConfig.rng_impl
+    rng_impl: str = "threefry"        # see TrainConfig.rng_impl
     # eval + checkpoint cadence: same half-epoch machinery as the retriever
     # (reference runs CE through the same callbacks, mytrainer_callbacks.py:31-35)
     evals_per_epoch: int = 2
@@ -261,6 +280,16 @@ class ServeConfig:
     # (colbert_ranker.py:61-73) bounded by host RAM; here the bound is
     # HBM / (d_view * dim) bytes per doc.
     rerank_dtype: str = "bfloat16"
+    # where the exact-rerank table lives: "hbm" (device-resident — fastest)
+    # or "host" (int8 table in HOST RAM, the reference's own placement:
+    # corpus bounded by hundreds of GB instead of HBM).  With "host", the
+    # device pipeline stops at the ranked candidate set and only the top
+    # host_rerank_candidates docs per query are gathered from the host
+    # table and shipped to the device for exact MaxSim — a PLAID-style
+    # funnel that keeps the PCIe/host traffic ~topk-sized.  Requires a
+    # uniform-doclen (multiview) corpus.
+    rerank_table: str = "hbm"
+    host_rerank_candidates: int = 256
     host: str = "127.0.0.1"
     port: int = 9090
     authkey: str = "colbert-tpu"
@@ -309,6 +338,16 @@ class ColbertConfig:
                 )
         if self.index.codec == "sq" and self.index.sq_dim > self.model.dim:
             raise ValueError("sq_dim must be <= model dim")
+        if self.model.dropout_impl not in ("byte", "exact", "hw"):
+            raise ValueError(f"unknown dropout_impl: {self.model.dropout_impl}")
+        if self.model.attention_dropout_site not in ("probs", "output"):
+            raise ValueError(
+                f"unknown attention_dropout_site: {self.model.attention_dropout_site}"
+            )
+        if self.serve.rerank_table not in ("hbm", "host"):
+            raise ValueError(
+                f"serve.rerank_table must be 'hbm' or 'host', got {self.serve.rerank_table!r}"
+            )
 
     # ---- (de)serialization ----
 

@@ -28,6 +28,56 @@ def _dtype(cfg: ModelConfig):
     return jnp.dtype(cfg.dtype)
 
 
+class FastDropout(nn.Module):
+    """Dropout from 8-bit random fields: 4 mask bytes per threefry word —
+    4x fewer PRNG bits than ``nn.Dropout``'s 32-bit draw per element.
+
+    Measured on v5e at the reference training operating point: random-bit
+    generation for dropout was 108 ms of the 288 ms step (the xla+nodrop
+    bisect in ``scripts/bench_train.py``), dominated by the (B, h, L, L)
+    attention-probs masks.  The drop probability is quantized to 1/256
+    (0.1 -> 26/256 ~ 0.1016); each element's mask is still an independent
+    Bernoulli draw, so this IS dropout, at coarser rate resolution."""
+
+    rate: float
+    impl: str = "byte"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        if deterministic or self.rate <= 0.0:
+            return x
+        thr = int(round(self.rate * 256))
+        if thr <= 0:
+            return x
+        if self.impl == "hw" and jax.default_backend() not in ("cpu", "gpu"):
+            # TPU hardware PRNG, zero-residual custom-VJP kernel (no CPU
+            # interpret path: prng_seed has no CPU lowering — tests get the
+            # byte fallback below, same quantized-Bernoulli semantics)
+            from colbert_tpu.ops.dropout_pallas import hw_dropout
+
+            seed = jax.random.bits(self.make_rng("dropout"), (), jnp.uint32)
+            return hw_dropout(x, seed, thr)
+        keep_scale = jnp.asarray(256.0 / (256.0 - thr), x.dtype)
+        # manual 4-bytes-per-word unpack: jax.random.bits(uint8) under the
+        # partitionable threefry (the default) runs one full threefry2x32
+        # PER ELEMENT and truncates — no savings.  Drawing uint32 words and
+        # splitting them recovers the real 4x.
+        n = x.size
+        nw = -(-n // 4)
+        words = jax.random.bits(self.make_rng("dropout"), (nw,), jnp.uint32)
+        b = jax.lax.shift_right_logical(
+            words[:, None], jnp.arange(4, dtype=jnp.uint32)[None, :] * 8
+        ).astype(jnp.uint8)
+        bits = b.reshape(-1)[:n].reshape(x.shape)
+        return jnp.where(bits >= thr, x * keep_scale, jnp.zeros((), x.dtype))
+
+
+def _dropout(cfg: ModelConfig, rate: float):
+    if cfg.dropout_impl in ("byte", "hw"):
+        return FastDropout(rate, impl=cfg.dropout_impl)
+    return nn.Dropout(rate)
+
+
 class BertEmbeddings(nn.Module):
     cfg: ModelConfig
 
@@ -41,19 +91,21 @@ class BertEmbeddings(nn.Module):
         positions = jnp.arange(input_ids.shape[1])[None, :]
         x = word(input_ids) + pos(positions) + typ(token_type_ids)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=_dtype(c), name="layernorm")(x)
-        return nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
+        return _dropout(c, c.hidden_dropout)(x, deterministic=deterministic)
 
 
 def _use_flash(cfg: ModelConfig, seq_len: int) -> bool:
-    if cfg.attention_impl == "xla":
+    if cfg.attention_impl in ("xla", "auto"):
+        # auto = xla: measured SLOWER with the generic Pallas flash kernel
+        # for BERT-base at seq 384 on v5e (375.5 vs 288.5 ms/step; the
+        # kernel's bwd pass dominates).  flash stays opt-in for the
+        # long-sequence regimes it was built for.
         return False
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if cfg.attention_impl == "flash":
-        if not on_tpu:
-            raise ValueError("attention_impl='flash' requires a TPU backend")
-        return True
-    # auto: the Pallas kernel needs 128-multiple sequence blocks; short
-    # query sequences (32) stay on the XLA path (attention is ~free there)
+    if cfg.attention_impl == "flash" and not on_tpu:
+        raise ValueError("attention_impl='flash' requires a TPU backend")
+    # the Pallas kernel needs 128-multiple sequence blocks; short query
+    # sequences (32) stay on the XLA path (attention is ~free there)
     return on_tpu and seq_len % 128 == 0 and seq_len >= 128
 
 
@@ -87,16 +139,19 @@ class BertSelfAttention(nn.Module):
             )
             ctx = ctx.transpose(0, 2, 1, 3).reshape(*x.shape[:2], h)
             # the kernel has no probs-dropout; apply the same rate to the
-            # attention output instead (documented deviation, ~70x fewer
+            # attention output instead (documented deviation, ~L x fewer
             # random bits than the (B, nh, L, L) probs mask)
-            ctx = nn.Dropout(c.attention_dropout)(ctx, deterministic=deterministic)
+            ctx = _dropout(c, c.attention_dropout)(ctx, deterministic=deterministic)
         else:
             # fp32 logits + softmax for stability, bf16 everywhere else
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
             logits = logits / jnp.sqrt(hd).astype(jnp.float32) + bias
             probs = jax.nn.softmax(logits, axis=-1).astype(_dtype(c))
-            probs = nn.Dropout(c.attention_dropout)(probs, deterministic=deterministic)
+            if c.attention_dropout_site == "probs":
+                probs = _dropout(c, c.attention_dropout)(probs, deterministic=deterministic)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(*x.shape[:2], h)
+            if c.attention_dropout_site == "output":
+                ctx = _dropout(c, c.attention_dropout)(ctx, deterministic=deterministic)
         return nn.Dense(h, kernel_init=init, dtype=_dtype(c), name="out")(ctx)
 
 
@@ -108,12 +163,12 @@ class BertLayer(nn.Module):
         c = self.cfg
         init = nn.initializers.normal(c.initializer_range)
         attn = BertSelfAttention(c, name="attention")(x, bias, attention_mask, deterministic)
-        attn = nn.Dropout(c.hidden_dropout)(attn, deterministic=deterministic)
+        attn = _dropout(c, c.hidden_dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=_dtype(c), name="attention_layernorm")(x + attn)
         y = nn.Dense(c.intermediate_size, kernel_init=init, dtype=_dtype(c), name="intermediate")(x)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(c.hidden_size, kernel_init=init, dtype=_dtype(c), name="output")(y)
-        y = nn.Dropout(c.hidden_dropout)(y, deterministic=deterministic)
+        y = _dropout(c, c.hidden_dropout)(y, deterministic=deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=_dtype(c), name="output_layernorm")(x + y)
 
 

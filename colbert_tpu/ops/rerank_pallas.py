@@ -32,14 +32,17 @@ def _kernel(cand_ref, valid_ref, qt_ref, emb_ref, out_ref, buf_ref, sem_ref, *, 
             sem_ref.at[c],
         )
 
+    # predicated DMA: padded (-1) candidate slots move no bytes — the
+    # ragged bucketed rerank routes each candidate to exactly one bucket
+    # kernel, so the per-bucket calls stay at the ideal DMA volume
     def issue(c, _):
-        dma(c).start()
+        pl.when(cand_ref[0, 0, 0, c] >= 0)(lambda: dma(c).start())
         return 0
 
     jax.lax.fori_loop(0, tc, issue, 0)
 
     def wait(c, _):
-        dma(c).wait()
+        pl.when(cand_ref[0, 0, 0, c] >= 0)(lambda: dma(c).wait())
         return 0
 
     jax.lax.fori_loop(0, tc, wait, 0)
@@ -72,13 +75,13 @@ def _kernel_packed(cand_ref, valid_ref, qt_ref, emb_ref, out_ref, buf_ref, sem_r
         )
 
     def issue(c, _):
-        dma(c).start()
+        pl.when(cand_ref[0, 0, 0, c] >= 0)(lambda: dma(c).start())
         return 0
 
     jax.lax.fori_loop(0, tc, issue, 0)
 
     def wait(c, _):
-        dma(c).wait()
+        pl.when(cand_ref[0, 0, 0, c] >= 0)(lambda: dma(c).wait())
         return 0
 
     jax.lax.fori_loop(0, tc, wait, 0)
@@ -177,6 +180,62 @@ def maxsim_rerank_uniform_packed(
         interpret=interpret,
     )(cand4, valid4, qt, emb_packed)
     return out.reshape(B, C)
+
+
+def stride_buckets(doclens, n_buckets: int = 4, row_multiple: int = 16):
+    """Stride schedule at doclen percentiles (the reference's bucket trick:
+    strides at percentiles 25/50/75 + max, ``colbert_ranker.py:36-41``),
+    rounded UP to the TPU DMA row alignment and deduplicated ascending.
+
+    ``row_multiple``: 16 keeps bf16 doc-block DMA offsets sublane-aligned;
+    int8 lane-packed tables need ``(nk * stride) % 32 == 0`` — pass 32 (or
+    16 when nk is even)."""
+    import numpy as np
+
+    doclens = np.asarray(doclens)
+    qs = np.percentile(doclens, np.linspace(0, 100, n_buckets + 1)[1:], method="higher")
+    out = []
+    for s in qs:
+        s = int(-(-int(max(s, 1)) // row_multiple) * row_multiple)
+        if not out or s > out[-1]:
+            out.append(s)
+    return out
+
+
+def build_ragged_buckets(emb, doclens, strides):
+    """Scatter a ragged doc-major embedding table into per-stride
+    ZERO-padded doc-major tables (one per bucket).
+
+    Zero rows contribute a 0 to the per-query-token max — exactly the
+    reference's mask-zeroing MaxSim semantics (``BaseModel.py:39-46``) — so
+    the fused uniform kernel scores bucketed ragged docs EXACTLY, with no
+    doclen mask.  Returns ``(tables, bucket_of_pid, slot_of_pid)`` where
+    ``tables[b]`` is ``(n_b * strides[b], dim)`` in ``emb``'s dtype and doc
+    ``p`` lives at rows ``slot_of_pid[p] * strides[b]`` of
+    ``tables[bucket_of_pid[p]]``."""
+    import numpy as np
+
+    doclens = np.asarray(doclens, np.int64)
+    strides = np.asarray(strides, np.int64)
+    offs = np.concatenate([[0], np.cumsum(doclens)])
+    if doclens.size and int(doclens.max()) > int(strides[-1]):
+        raise ValueError("max doclen exceeds the largest stride")
+    bucket_of = np.searchsorted(strides, doclens, side="left").astype(np.int32)
+    slot_of = np.zeros(len(doclens), np.int32)
+    tables = []
+    for b, s in enumerate(strides.tolist()):
+        pids = np.nonzero(bucket_of == b)[0]
+        slot_of[pids] = np.arange(len(pids), dtype=np.int32)
+        tbl = np.zeros((max(len(pids), 1) * s, emb.shape[1]), emb.dtype)
+        if len(pids):
+            lens = doclens[pids]
+            starts = np.cumsum(lens) - lens
+            within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+            src = np.repeat(offs[pids], lens) + within
+            dst = np.repeat(np.arange(len(pids), dtype=np.int64) * s, lens) + within
+            tbl[dst] = np.asarray(emb)[src]
+        tables.append(tbl)
+    return tables, bucket_of, slot_of
 
 
 def quantize_emb_table(emb: "object", chunk: int = 1 << 18):

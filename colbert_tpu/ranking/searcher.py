@@ -129,6 +129,7 @@ def retrieval_core(
     packed_int8: bool = False,
     dedup_impl: str = "auto",
     stop_stage: Optional[str] = None,
+    ragged_strides: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Everything after query encode: probe -> candidate scores -> dedup ->
     gather -> exact MaxSim -> local top-k.  Pure function of device arrays
@@ -144,10 +145,21 @@ def retrieval_core(
     (:func:`colbert_tpu.ops.rerank_pallas.pack_int8_table`) with per-dim
     dequantization vector ``1/scale`` in ``emb_inv_scale`` — 4x the corpus
     per HBM byte vs bf16 (the beyond-HBM serving mode).  Requires
-    ``uniform_doclen``."""
+    ``uniform_doclen`` or ``ragged_strides``.
+
+    ``ragged_strides``: the ragged-corpus FAST path — ``emb_table`` is a
+    ``(bucket_tables, bucket_of_pid, slot_of_pid)`` tuple of per-stride
+    zero-padded doc-major tables (:func:`build_ragged_buckets`, the
+    reference's percentile stride buckets, ``colbert_ranker.py:36-41``).
+    Each candidate is routed to exactly its bucket's fused kernel call
+    (non-members are -1 slots whose DMA the kernel skips), and per-bucket
+    scores combine with an elementwise max — exact MaxSim, since zero pad
+    rows reproduce the mask-zeroing semantics."""
     B, q_view, _ = Qm.shape
-    if packed_int8 and not uniform_doclen:
-        raise ValueError("packed int8 rerank requires a uniform-doclen (multiview) corpus")
+    if packed_int8 and not uniform_doclen and ragged_strides is None:
+        raise ValueError("packed int8 rerank requires uniform doclens or stride buckets")
+    if ragged_strides is not None:
+        bucket_tables, bucket_of_pid, slot_of_pid = emb_table
 
     tokens = Qm.reshape(B * q_view, -1)
     adc_scores, rows = probe_fn(tokens)  # (B*qv, depth)
@@ -164,8 +176,10 @@ def retrieval_core(
     num_docs = doclens.shape[0]
     dim = Qm.shape[-1]
     nk = dim // 128
-    if uniform_doclen:
-        # (N, dim) -> (num_docs, rerank_cap * dim): same layout, no copy
+    if uniform_doclen and stop_stage not in ("dedup", "candidates"):
+        # (N, dim) -> (num_docs, rerank_cap * dim): same layout, no copy.
+        # Skipped when the pipeline stops before the rerank (the host-table
+        # mode passes a placeholder emb_table that cannot be reshaped).
         rows_per_doc = nk * rerank_cap if packed_int8 else rerank_cap
         emb_by_doc = emb_table[: num_docs * rows_per_doc].reshape(num_docs, -1)
 
@@ -208,10 +222,44 @@ def retrieval_core(
         cand, cand_s = jax.vmap(dedup)(p, s)
         if stop_stage == "dedup":  # timing attribution only
             return cand_s[:, :topk], cand[:, :topk]
+        if stop_stage == "candidates":
+            # full-width candidate set, ranked desc by dedup score — the
+            # host-streamed rerank consumes the first N columns (the funnel)
+            return cand_s, cand
         # (measured: pid-sorting candidates before the gather does NOT help —
         # 137.5 vs 130.4 ms/batch; XLA's doc-row gather is insensitive to
         # index order at this scale)
         qc = cand.shape[0]
+
+        if ragged_strides is not None:
+            from colbert_tpu.ops.rerank_pallas import (
+                maxsim_rerank_uniform,
+                maxsim_rerank_uniform_packed,
+            )
+
+            C = cand.shape[1]
+            C_pad = -(-C // 128) * 128
+            cand_p = jnp.pad(cand, ((0, 0), (0, C_pad - C)), constant_values=-1)
+            safe = jnp.maximum(cand_p, 0)
+            b_of = jnp.where(cand_p >= 0, bucket_of_pid[safe], -1)
+            s_of = slot_of_pid[safe]
+            scores = jnp.full(cand_p.shape, -jnp.inf, jnp.float32)
+            for b, s_b in enumerate(ragged_strides):
+                in_b = b_of == b
+                cand_b = jnp.where(in_b, s_of, -1)
+                if packed_int8:
+                    sb = maxsim_rerank_uniform_packed(
+                        cand_b, q * emb_inv_scale, bucket_tables[b],
+                        dv=s_b, nk=nk, tc=128,
+                    )
+                else:
+                    sb = maxsim_rerank_uniform(cand_b, q, bucket_tables[b], dv=s_b, tc=128)
+                scores = jnp.maximum(scores, jnp.where(in_b, sb, -jnp.inf))
+            scores = scores[:, :C]
+            k = min(topk, max_cand)
+            ts, ti = jax.lax.top_k(scores, k)
+            tp = jnp.take_along_axis(cand, ti, axis=1)
+            return ts, jnp.where(jnp.isfinite(ts), tp, -1)
 
         if use_fused_rerank:
             from colbert_tpu.ops.rerank_pallas import (
@@ -356,7 +404,76 @@ class ColbertSearcher:
 
         emb_np = storage.load_all_embeddings()
         dim = int(meta["dim"])
+        self.dim = dim
+        self.host_table = None
+        self.ragged_strides = None
         self.packed_int8 = rerank_dtype == jnp.int8
+        if cfg.serve.rerank_table == "host":
+            # the reference's table placement (host RAM, colbert_ranker.py:61-73):
+            # corpus bounded by host memory; only the funnel's top candidates
+            # ever cross host->device, as int8 (4x less traffic than fp32)
+            from colbert_tpu.ops.rerank_pallas import quantize_emb_table
+
+            if not self.uniform_doclen:
+                raise ValueError(
+                    "rerank_table='host' requires a uniform-doclen (multiview) corpus"
+                )
+            q8, scale = quantize_emb_table(emb_np)
+            self.host_table = np.ascontiguousarray(
+                q8[: self.num_docs * self.rerank_cap].reshape(self.num_docs, -1)
+            )
+            self.emb_inv_scale = jnp.asarray(1.0 / scale, jnp.float32)
+            self.emb_table = jnp.zeros((1, dim), jnp.bfloat16)  # unused placeholder
+            self.packed_int8 = False
+            self.nk = dim // 128 if dim % 128 == 0 else 0
+            self._search_fns = {}
+            return
+        ragged_fast = (
+            not self.uniform_doclen
+            and self.num_docs > 0
+            and dim % 128 == 0
+            and (
+                (cfg.serve.rerank_kernel == "pallas"
+                 and jax.default_backend() not in ("cpu", "gpu"))
+                or cfg.serve.rerank_kernel == "pallas_interpret"
+            )
+        )
+        if ragged_fast:
+            # ragged-corpus FAST path: the reference's percentile stride
+            # buckets (colbert_ranker.py:36-41) as per-stride zero-padded
+            # doc-major tables, scored by the fused uniform kernel with
+            # per-bucket candidate routing (see retrieval_core).
+            from colbert_tpu.ops.rerank_pallas import (
+                build_ragged_buckets, pack_int8_table, quantize_emb_table,
+                stride_buckets,
+            )
+
+            nk = dim // 128
+            self.nk = nk
+            if self.packed_int8:
+                # lane-packed int8 needs (nk * stride) % 32 == 0
+                row_mult = 16 if (nk * 16) % 32 == 0 else 32
+                strides = stride_buckets(doclens, row_multiple=row_mult)
+                q8, scale = quantize_emb_table(emb_np)
+                raw, b_of, s_of = build_ragged_buckets(q8, doclens, strides)
+                tables = tuple(
+                    jnp.asarray(pack_int8_table(t, s)) for t, s in zip(raw, strides)
+                )
+                self.emb_inv_scale = jnp.asarray(1.0 / scale, jnp.float32)
+            else:
+                strides = stride_buckets(doclens, row_multiple=16)
+                raw, b_of, s_of = build_ragged_buckets(
+                    np.asarray(emb_np, np.float32), doclens, strides
+                )
+                # the fused kernel streams bf16 tiles; fp32 requests are
+                # served at bf16 table precision on this path
+                tables = tuple(jnp.asarray(t, jnp.bfloat16) for t in raw)
+                self.emb_inv_scale = None
+            self.ragged_strides = tuple(int(s) for s in strides)
+            self.emb_table = (tables, jnp.asarray(b_of), jnp.asarray(s_of))
+            self._oracle_emb = emb_np  # host copy, search_brute_force only
+            self._search_fns = {}
+            return
         if self.packed_int8:
             # beyond-HBM serving mode: int8 lane-packed table = 4x the corpus
             # per HBM byte vs the reference's fp16 table
@@ -365,7 +482,9 @@ class ColbertSearcher:
 
             if not self.uniform_doclen:
                 raise ValueError(
-                    "rerank_dtype=int8 requires a uniform-doclen (multiview) corpus"
+                    "rerank_dtype=int8 requires a uniform-doclen (multiview) "
+                    "corpus (ragged corpora get int8 via the stride-bucketed "
+                    "pallas rerank: serve.rerank_kernel='pallas')"
                 )
             q8, scale = quantize_emb_table(emb_np)
             self.emb_table = jnp.asarray(pack_int8_table(q8, self.rerank_cap))
@@ -379,7 +498,8 @@ class ColbertSearcher:
 
     # ---- jitted pipeline ----
 
-    def _make_search_fn(self, topk: int, nprobe: int, depth: int, cap: int, max_cand: int, query_chunk: int):
+    def _make_search_fn(self, topk: int, nprobe: int, depth: int, cap: int, max_cand: int,
+                        query_chunk: int, stop_stage: Optional[str] = None):
         model = self.model
         rerank_cap = self.rerank_cap
         codec = self.codec
@@ -388,7 +508,8 @@ class ColbertSearcher:
 
         packed_int8 = self.packed_int8
 
-        stop_stage = getattr(self, "debug_stop_stage", None)
+        stop_stage = stop_stage or getattr(self, "debug_stop_stage", None)
+        want_q = stop_stage == "candidates"
 
         def fn(params, coarse, quant, codes, offsets, pid_by_row,
                emb_table, emb_inv_scale, doc_offsets, doclens, q_ids, q_attn, q_active):
@@ -409,7 +530,7 @@ class ColbertSearcher:
                 probe_stop=probe_stop,
                 hot_cap=self.cfg.serve.probe_hot_lists,
             )
-            return retrieval_core(
+            out = retrieval_core(
                 Qm, qm, probe_fn, pid_by_row,
                 emb_table, doc_offsets, doclens,
                 depth=depth, max_cand=max_cand,
@@ -419,7 +540,11 @@ class ColbertSearcher:
                 emb_inv_scale=emb_inv_scale, packed_int8=packed_int8,
                 dedup_impl=self.cfg.serve.dedup_impl,
                 stop_stage=stop_stage,
+                ragged_strides=self.ragged_strides,
             )
+            if want_q:
+                return out + (Qm, qm)
+            return out
 
         return jax.jit(fn)
 
@@ -465,6 +590,10 @@ class ColbertSearcher:
         depth = depth or s.candidate_depth
         cap = self.max_list_len
         max_cand = min(s.max_candidates, self.num_docs)
+        if self.host_table is not None:
+            return self._search_tokens_host(
+                q_ids, q_attn, q_active, topk, nprobe, depth, max_cand, query_chunk
+            )
         key = (topk, nprobe, depth, cap, max_cand, query_chunk)
         if key not in self._search_fns:
             self._search_fns[key] = self._make_search_fn(*key)
@@ -479,6 +608,65 @@ class ColbertSearcher:
             )
         return SearchResult(np.asarray(tp), np.asarray(ts))
 
+    def _host_rerank_fn(self, topk: int):
+        """Jitted exact MaxSim over host-gathered int8 candidate blocks."""
+        dv = self.rerank_cap
+
+        def fn(Qm, qm, inv, cand, blocks):
+            B, hc = cand.shape
+            D = blocks.reshape(B, hc, dv, -1).astype(jnp.bfloat16)
+            valid = (cand >= 0)[..., None] & jnp.ones((1, 1, dv), bool)
+            scores = maxsim_qd(
+                (Qm * inv).astype(jnp.bfloat16), D, qm.astype(jnp.bfloat16),
+                valid.astype(jnp.bfloat16),
+            )
+            scores = jnp.where(cand >= 0, scores, -jnp.inf)
+            ts, ti = jax.lax.top_k(scores, min(topk, hc))
+            tp = jnp.take_along_axis(cand, ti, axis=1)
+            return ts, jnp.where(jnp.isfinite(ts), tp, -1)
+
+        return jax.jit(fn)
+
+    def _search_tokens_host(self, q_ids, q_attn, q_active, topk, nprobe, depth,
+                            max_cand, query_chunk) -> SearchResult:
+        """Host-streamed rerank: device candidates -> host int8 gather ->
+        device exact MaxSim.  The candidate funnel (dedup output is ranked
+        desc by approx-MaxSim) bounds host->device traffic to
+        ``host_rerank_candidates * d_view * dim`` int8 bytes per query —
+        the reference's host-RAM table (colbert_ranker.py:61-73) with a
+        PLAID-style funnel instead of a full-depth gather."""
+        s = self.cfg.serve
+        hc = max(topk, min(s.host_rerank_candidates, max_cand, self.num_docs))
+        key = ("host-cand", nprobe, depth, self.max_list_len, max_cand, query_chunk)
+        if key not in self._search_fns:
+            self._search_fns[key] = self._make_search_fn(
+                topk, nprobe, depth, self.max_list_len, max_cand, query_chunk,
+                stop_stage="candidates",
+            )
+        rkey = ("host-rerank", topk)
+        if rkey not in self._search_fns:
+            self._search_fns[rkey] = self._host_rerank_fn(topk)
+        inv = self.emb_inv_scale
+        with self.timers.span("host_candidates"):
+            _, cand, Qm, qm = self._search_fns[key](
+                self.params, self.coarse, self._quant, self.codes, self.offsets,
+                self.pid_by_row, self.emb_table, inv, self.doc_offsets, self.doclens,
+                jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active),
+            )
+            cand_np = np.asarray(cand)[:, :hc]
+        with self.timers.span("host_gather"):
+            # pid-sorted gather for host memory locality; order is irrelevant
+            # (the exact re-rank re-scores everything)
+            order = np.argsort(cand_np, axis=1, kind="stable")
+            cand_sorted = np.take_along_axis(cand_np, order, axis=1)
+            blocks = self.host_table[np.maximum(cand_sorted, 0).reshape(-1)]
+            blocks = blocks.reshape(cand_np.shape[0], hc, -1)
+        with self.timers.span("host_rerank"):
+            ts, tp = self._search_fns[rkey](
+                Qm, qm, inv, jnp.asarray(cand_sorted), jnp.asarray(blocks)
+            )
+        return SearchResult(np.asarray(tp), np.asarray(ts))
+
     def search_tokens_device(self, q_ids, q_attn, q_active, topk=None, nprobe=None,
                              depth=None, query_chunk: int = 8):
         """Like :meth:`search_tokens` but returns DEVICE arrays (scores,
@@ -487,6 +675,11 @@ class ColbertSearcher:
         dispatch/transfer latency with device execution (the reference's
         serving loop is fully synchronous per batch,
         ``dense_server_client.py:39-49``)."""
+        if self.host_table is not None:
+            raise ValueError(
+                "search_tokens_device is the device-resident async path; "
+                "rerank_table='host' serves through search_tokens"
+            )
         s = self.cfg.serve
         topk = topk or s.topk
         nprobe = min(nprobe or s.nprobe, int(self.coarse.shape[0]))
@@ -514,7 +707,23 @@ class ColbertSearcher:
         B = Q.shape[0]
         cap = self.rerank_cap
         valid = jnp.arange(cap)[None, :] < self.doclens[:, None]
-        if self.packed_int8:
+        if self.host_table is not None:
+            if self.host_table.size > (1 << 28):
+                raise ValueError(
+                    "search_brute_force with a host table this large would "
+                    "materialize it on device; use ANN search"
+                )
+            D = jnp.asarray(self.host_table).reshape(self.num_docs, cap, -1)
+            D = D.astype(jnp.float32) * self.emb_inv_scale
+        elif self.ragged_strides is not None:
+            # oracle from the retained host copy (the serving path holds
+            # only the stride-bucketed tables)
+            table = jnp.asarray(np.asarray(self._oracle_emb, np.float32))
+            base = self.doc_offsets[jnp.arange(self.num_docs, dtype=jnp.int32)]
+            idx = base[:, None] + jnp.arange(cap)[None, :]
+            idx = jnp.clip(idx, 0, table.shape[0] - 1)
+            D = table[idx.reshape(-1)].reshape(self.num_docs, cap, -1)
+        elif self.packed_int8:
             # dequantize the lane-packed table (oracle path: small corpora)
             D = self.emb_table.reshape(self.num_docs, self.nk, cap, 128)
             D = jnp.transpose(D, (0, 2, 1, 3)).reshape(self.num_docs, cap, -1)

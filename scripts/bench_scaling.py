@@ -27,25 +27,41 @@ import numpy as np
 
 def oracle_topk(searcher, model, params, q_ids, q_attn, q_active, topk):
     """Exact-MaxSim oracle that understands the int8 lane-packed table
-    (bench.exact_oracle_topk assumes a flat bf16 table)."""
+    (bench.exact_oracle_topk assumes a flat bf16 table).  Dequantizes doc
+    CHUNKS only — the full bf16 table never materializes, so the oracle
+    runs even at 1M-doc corpora where it would be 25 GB."""
     from colbert_tpu.ops.maxsim import maxsim_xla
 
     Q = model.apply({"params": params}, jnp.asarray(q_ids), jnp.asarray(q_attn), method=model.query)
-    Qm = Q * jnp.asarray(q_active, Q.dtype)[..., None]
+    Qm = (Q * jnp.asarray(q_active, Q.dtype)[..., None]).astype(jnp.bfloat16)
     nd, cap = searcher.num_docs, searcher.rerank_cap
+    dim = searcher.dim
+    chunk = max(1, min(nd, (1 << 29) // (cap * dim * 4)))
+    nk = searcher.nk
     if searcher.packed_int8:
-        D = searcher.emb_table.reshape(nd, searcher.nk, cap, 128)
-        D = jnp.transpose(D, (0, 2, 1, 3)).reshape(nd, cap, -1)
-        D = (D.astype(jnp.bfloat16) * searcher.emb_inv_scale.astype(jnp.bfloat16))
+        inv = searcher.emb_inv_scale.astype(jnp.bfloat16)
+
+        @jax.jit
+        def sc(q, rows):
+            n = rows.shape[0] // (nk * cap)
+            D = rows.reshape(n, nk, cap, 128)
+            D = jnp.transpose(D, (0, 2, 1, 3)).reshape(n, cap, dim)
+            return maxsim_xla(q, D.astype(jnp.bfloat16) * inv)
+
+        rows_per_doc = nk * cap
     else:
-        D = searcher.emb_table.reshape(nd, cap, -1)
-    # chunk docs to bound the similarity transient at large corpora
-    B = Qm.shape[0]
-    chunk = max(1, min(nd, (1 << 30) // (cap * D.shape[-1] * 4)))
+
+        @jax.jit
+        def sc(q, rows):
+            return maxsim_xla(q, rows.reshape(-1, cap, dim).astype(jnp.bfloat16))
+
+        rows_per_doc = cap
     tops_s, tops_p = [], []
-    sc = jax.jit(lambda q, d: maxsim_xla(q.astype(jnp.bfloat16), d))
     for lo in range(0, nd, chunk):
-        s = np.asarray(sc(Qm, D[lo : lo + chunk]))
+        n = min(chunk, nd - lo)
+        rows = jax.lax.slice_in_dim(searcher.emb_table, lo * rows_per_doc,
+                                    (lo + n) * rows_per_doc)
+        s = np.asarray(sc(Qm, rows))
         k = min(topk, s.shape[1])
         idx = np.argpartition(-s, k - 1, axis=1)[:, :k]
         tops_s.append(np.take_along_axis(s, idx, axis=1))
@@ -68,6 +84,9 @@ def main():
     ap.add_argument("--depth", type=int, default=512)
     ap.add_argument("--max-candidates", type=int, default=4096)
     ap.add_argument("--list-topr", type=int, default=8)
+    ap.add_argument("--partitions", type=int, default=0,
+                    help="IVF partitions; 0 = the reference's auto formula "
+                         "1<<round(log2(8*sqrt(N))) (faiss_indexers.py:279-286)")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -107,7 +126,8 @@ def main():
             multiview=MultiviewConfig(enabled=True, q_view=q_view, d_view=d_view),
             tokenizer=TokenizerConfig(vocab_path="unused", query_maxlen=32, doc_maxlen=384),
             index=IndexConfig(codec="sq", sq_dim=64, kmeans_iters=10,
-                              balance_factor=args.balance_factor),
+                              balance_factor=args.balance_factor,
+                              partitions=args.partitions),
             serve=ServeConfig(nprobe=nprobe, candidate_depth=depth, topk=topk,
                               max_candidates=args.max_candidates, rerank_dtype=args.rerank_dtype,
                               probe_list_topr=args.list_topr),

@@ -100,12 +100,24 @@ def main():
         return jax.random.key(1, impl=impl)
 
     flash = dataclasses.replace(mc, attention_impl="flash")
+    byte = dataclasses.replace(mc, dropout_impl="byte")
+    byte_out = dataclasses.replace(byte, attention_dropout_site="output")
+    exact = dataclasses.replace(mc, dropout_impl="exact")
+    hw = dataclasses.replace(mc, dropout_impl="hw")
+    hw_out = dataclasses.replace(hw, attention_dropout_site="output")
     variants = [
-        ("xla+threefry", mc, "threefry2x32", False, "step"),
-        ("xla+rbg", mc, "rbg", False, "step"),
-        ("flash+rbg", flash, "rbg", False, "step"),
-        ("flash+rbg+nodrop", flash, "rbg", True, "step"),
-        ("flash-fwd-only", flash, "rbg", True, "fwd"),
+        # measured once: xla+rbg = 613.6 ms/step (rbg 2.1x SLOWER; dropped)
+        # round-3 history: exact 288.5 | flash 375.5 | nodrop 179.9 |
+        # flash+nodrop 318.4 | flash-fwd 95.2 ms/step
+        ("xla+exact", exact, "threefry2x32", False, "step"),
+        ("xla+byte", byte, "threefry2x32", False, "step"),
+        ("xla+byte+attnout", byte_out, "threefry2x32", False, "step"),
+        ("xla+hw", hw, "threefry2x32", False, "step"),
+        ("xla+hw+attnout", hw_out, "threefry2x32", False, "step"),
+        ("xla+nodrop", mc, "threefry2x32", True, "step"),
+        ("xla-fwd-only", mc, "threefry2x32", True, "fwd"),
+        ("flash", flash, "threefry2x32", False, "step"),
+        ("flash-fwd-only", flash, "threefry2x32", True, "fwd"),
     ]
     if args.variants:
         names = set(args.variants.split(","))

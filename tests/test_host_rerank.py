@@ -1,0 +1,113 @@
+"""Host-streamed rerank table (serve.rerank_table='host'): the reference's
+table placement — exact-rerank embeddings in HOST RAM
+(colbert_ranker.py:61-73) — with a candidate funnel so only the top
+``host_rerank_candidates`` doc blocks per query cross host->device."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from colbert_tpu.config import (
+    ColbertConfig, IndexConfig, MeshConfig, ModelConfig, MultiviewConfig,
+    ServeConfig, TokenizerConfig,
+)
+from colbert_tpu.indexing import CollectionEncoder, IndexBuilder
+from colbert_tpu.models import ColbertModel
+from colbert_tpu.ranking import ColbertSearcher
+from colbert_tpu.tokenization import ColbertTokenizer, build_vocab, write_vocab
+from tests.test_end_to_end import TOPICS, corpus_texts
+
+
+def _build(tmp_path, mesh8, texts, **serve_kw):
+    vp = write_vocab(build_vocab(texts + TOPICS, max_size=4000), tmp_path / "vocab.txt")
+    cfg = ColbertConfig(
+        model=ModelConfig(vocab_size=4096, hidden_size=32, num_layers=1, num_heads=2,
+                          intermediate_size=64, max_position_embeddings=96, dim=128,
+                          dtype="float32"),
+        multiview=MultiviewConfig(enabled=True, q_view=4, d_view=32),
+        tokenizer=TokenizerConfig(vocab_path=str(vp), query_maxlen=16, doc_maxlen=64),
+        index=IndexConfig(codec="sq", sq_dim=8, partitions=8, kmeans_iters=5, num_parts=2),
+        serve=ServeConfig(nprobe=8, candidate_depth=64, topk=5, max_candidates=128,
+                          **serve_kw),
+        mesh=MeshConfig(data=4, model=2),
+    )
+    tok = ColbertTokenizer(cfg.tokenizer, cfg.multiview)
+    model = ColbertModel(cfg.model, cfg.multiview)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(7), ids, jnp.ones_like(ids),
+                        jnp.zeros((1, 64), jnp.int32), jnp.ones((1, 64), jnp.int32))["params"]
+    storage = CollectionEncoder(cfg, tok, params, mesh=mesh8).encode_corpus(
+        texts, str(tmp_path / "idx"), batch_size=8
+    )
+    IndexBuilder(cfg, storage).build(chunk=256)
+    return cfg, tok, params, storage
+
+
+class TestHostRerank:
+    def test_matches_hbm_searcher(self, tmp_path, mesh8):
+        """Host-streamed results == in-HBM bf16 results modulo int8
+        quantization, on a clustered synthetic corpus."""
+        texts = corpus_texts(160)
+        cfg, tok, params, storage = _build(
+            tmp_path, mesh8, texts,
+            rerank_table="host", host_rerank_candidates=64,
+        )
+        s_host = ColbertSearcher(cfg, tok, params, storage, mesh=mesh8)
+        assert s_host.host_table is not None
+        assert s_host.host_table.dtype == np.int8
+        # whole corpus lives on host: num_docs rows of d_view*dim int8
+        assert s_host.host_table.shape == (len(texts), 32 * 128)
+
+        cfg_hbm = dataclasses.replace(
+            cfg, serve=dataclasses.replace(cfg.serve, rerank_table="hbm")
+        )
+        s_hbm = ColbertSearcher(cfg_hbm, tok, params, storage, mesh=mesh8)
+
+        queries = ["apple fruit", "piano music", "river water"]
+        a = s_hbm.search(queries, topk=5)
+        b = s_host.search(queries, topk=5)
+        np.testing.assert_allclose(b.scores, a.scores, rtol=3e-2, atol=3e-2)
+        assert ((b.pids >= 0) & (b.pids < len(texts))).all()
+
+    def test_funnel_narrower_than_topk_is_widened(self, tmp_path, mesh8):
+        """host_rerank_candidates < topk must still return topk results."""
+        texts = corpus_texts(80)
+        cfg, tok, params, storage = _build(
+            tmp_path, mesh8, texts,
+            rerank_table="host", host_rerank_candidates=2,
+        )
+        s = ColbertSearcher(cfg, tok, params, storage, mesh=mesh8)
+        r = s.search(["apple fruit"], topk=5)
+        assert r.pids.shape == (1, 5)
+        assert (r.pids >= 0).all()
+
+    def test_brute_force_oracle_on_host_table(self, tmp_path, mesh8):
+        texts = corpus_texts(80)
+        cfg, tok, params, storage = _build(
+            tmp_path, mesh8, texts, rerank_table="host",
+        )
+        s = ColbertSearcher(cfg, tok, params, storage, mesh=mesh8)
+        cfg_hbm = dataclasses.replace(
+            cfg, serve=dataclasses.replace(cfg.serve, rerank_table="hbm")
+        )
+        s_hbm = ColbertSearcher(cfg_hbm, tok, params, storage, mesh=mesh8)
+        o_host = s.search_brute_force(["piano music"], topk=5)
+        o_hbm = s_hbm.search_brute_force(["piano music"], topk=5)
+        np.testing.assert_allclose(o_host.scores, o_hbm.scores, rtol=3e-2, atol=3e-2)
+
+    def test_device_path_rejected(self, tmp_path, mesh8):
+        texts = corpus_texts(40)
+        cfg, tok, params, storage = _build(
+            tmp_path, mesh8, texts, rerank_table="host",
+        )
+        s = ColbertSearcher(cfg, tok, params, storage, mesh=mesh8)
+        enc = tok.encode_queries(["apple fruit"])
+        with pytest.raises(ValueError, match="host"):
+            s.search_tokens_device(enc.input_ids, enc.attention_mask, enc.active_mask)
+
+    def test_config_rejects_unknown_table(self):
+        with pytest.raises(ValueError, match="rerank_table"):
+            ColbertConfig(serve=ServeConfig(rerank_table="pcie"))

@@ -107,3 +107,44 @@ def test_torch_conversion_fidelity():
         np.linalg.norm(np.asarray(got)[valid], axis=-1) * np.linalg.norm(want[valid], axis=-1)
     )
     assert cos.min() > 0.999
+
+
+class TestFastDropout:
+    def test_byte_dropout_statistics_and_scale(self):
+        from colbert_tpu.models.bert import FastDropout
+
+        drop = FastDropout(0.1, impl="byte")
+        x = jnp.ones((256, 256), jnp.float32)
+        y = drop.apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})
+        y = np.asarray(y)
+        frac = (y == 0).mean()
+        # quantized drop rate = 26/256 ~ 0.1016
+        assert abs(frac - 26 / 256) < 0.01
+        nz = y[y != 0]
+        np.testing.assert_allclose(nz, 256.0 / 230.0, rtol=1e-6)
+
+    def test_deterministic_given_key(self):
+        from colbert_tpu.models.bert import FastDropout
+
+        drop = FastDropout(0.25, impl="byte")
+        x = jnp.ones((64, 64), jnp.float32)
+        k = jax.random.PRNGKey(3)
+        a = drop.apply({}, x, False, rngs={"dropout": k})
+        b = drop.apply({}, x, False, rngs={"dropout": k})
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_hw_falls_back_on_cpu(self):
+        from colbert_tpu.models.bert import FastDropout
+
+        drop = FastDropout(0.1, impl="hw")
+        x = jnp.ones((32, 32), jnp.float32)
+        y = drop.apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(1)})
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_deterministic_mode_identity(self):
+        from colbert_tpu.models.bert import FastDropout
+
+        drop = FastDropout(0.5, impl="byte")
+        x = jnp.arange(12.0).reshape(3, 4)
+        y = drop.apply({}, x, True)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
