@@ -152,6 +152,13 @@ class TrainConfig:
     # one XLA compile per bucket).  Multiples of 128 keep the flash-attention
     # auto path active.  Empty = always pad to tokenizer.doc_maxlen.
     doc_length_buckets: Tuple[int, ...] = ()
+    # length-grouped shuffling: after the epoch shuffle, sort examples by a
+    # doc-length proxy within pools of N batches, so each batch's longest
+    # doc (the bucketing truncation point) tracks the LOCAL length scale
+    # instead of the corpus p99.  0 = off.  Without this, heavy-tailed
+    # doclen distributions defeat doc_length_buckets (a random batch of 68
+    # docs almost always contains a near-maxlen one).
+    length_group_pool: int = 0
     eval_num_positives: int = 2
     eval_num_negatives: int = 8
     # evaluation / checkpoint cadence: twice per epoch

@@ -327,7 +327,8 @@ def ivf_probe_sq_batched(
     if stop == "kernel":
         return dummy(out_s, out_r)
     scores, rows = probe_batched_postprocess(
-        sched, out_s, out_r, T, nprobe, depth, approx_topk, pair_valid=pair_valid,
+        sched, out_s, out_r, T, nprobe, depth, approx_topk, stop=stop,
+        pair_valid=pair_valid,
         hot=None if hot_cap == 0 else (
             hot_pos,
             *sq_hot_list_scan(

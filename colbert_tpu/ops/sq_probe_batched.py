@@ -564,6 +564,7 @@ def probe_batched_postprocess(
     pair_valid: jax.Array | None = None,
     hot: Tuple[jax.Array, jax.Array, jax.Array] | None = None,
     lists: jax.Array | None = None,
+    stop: str | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Map per-slot (and hot-list) results back to tokens, then per-token
     top-depth.  ``hot`` = (hot_pos (K,), hot_s (H, r, T_pad), hot_r) from
@@ -592,6 +593,9 @@ def probe_batched_postprocess(
         pr = jnp.where(is_hot, fh_r[hidx], pr)
     ps = ps.reshape(T, nprobe * r)
     pr = pr.reshape(T, nprobe * r)
+    if stop == "gather":  # timing bisection: pair gathers + hot blend only
+        k = min(depth, ps.shape[1])
+        return ps[:, :k], pr[:, :k].astype(jnp.int32)
 
     if ps.shape[1] <= depth:
         # nothing to select — pass everything through (e.g. nprobe*r == depth)

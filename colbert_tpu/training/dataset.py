@@ -113,6 +113,20 @@ class RetrievalSampler:
             neg = neg_ctxs[: c.eval_num_negatives]
         return pos + neg
 
+    def _length_proxy(self) -> np.ndarray:
+        """Per-example doc-length proxy (max ctx character length over the
+        positives + sampled-negative pool) — cheap, computed once."""
+        if getattr(self, "_proxy", None) is None:
+            c = self.cfg
+            vals = np.empty(len(self.ds), np.int64)
+            for i, ex in enumerate(self.ds.examples):
+                pool = list(ex["positive_ctxs"]) + list(
+                    ex["hard_negative_ctxs"][: c.train_negative_pool]
+                )
+                vals[i] = max((len(t) for t in pool), default=0)
+            self._proxy = vals
+        return self._proxy
+
     def _make_batch(self, idxs: Sequence[int]) -> TrainBatch:
         questions = [self.ds[i]["question"] for i in idxs]
         docs: List[str] = []
@@ -142,6 +156,15 @@ class RetrievalSampler:
         if not self.is_eval:
             shuffle_rng = np.random.default_rng(self.cfg.seed + epoch_idx)
             shuffle_rng.shuffle(order)
+            if self.cfg.length_group_pool > 0:
+                # sort by doc-length proxy within pools of N batches: batches
+                # become length-homogeneous, so doc_length_buckets truncation
+                # tracks the local length scale (pool order stays shuffled)
+                pool = self.cfg.length_group_pool * self.batch_size
+                proxy = self._length_proxy()
+                for lo in range(0, len(order), pool):
+                    seg = order[lo : lo + pool]
+                    order[lo : lo + pool] = seg[np.argsort(proxy[seg], kind="stable")]
         n_steps = self.steps_per_epoch()
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=prefetch)
         sentinel = object()

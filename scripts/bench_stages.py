@@ -87,7 +87,8 @@ def main():
         tt.append(time.perf_counter() - t0)
     print(f"prefix empty   : {np.median(tt)*1e3:7.1f} ms (pure dispatch+fetch)", flush=True)
 
-    stages = ["encode", "probe:coarse", "probe:sched", "probe:kernel", "probe", "dedup", None]
+    stages = ["encode", "probe:coarse", "probe:sched", "probe:kernel",
+              "probe:gather", "probe", "dedup", None]
     med = {}
     for stage in stages:
         searcher.debug_stop_stage = stage
@@ -106,7 +107,8 @@ def main():
     prev = 0.0
     for stage, label in [("encode", "encode"), ("probe:coarse", "coarse+topk"),
                          ("probe:sched", "schedule"), ("probe:kernel", "scan kernel"),
-                         ("probe", "probe post"), ("dedup", "dedup"), (None, "rerank+topk")]:
+                         ("probe:gather", "pair gather"), ("probe", "top-depth"),
+                         ("dedup", "dedup"), (None, "rerank+topk")]:
         if stage in med or stage is None:
             cur = med[stage]
             print(f"  {label:12s}: {cur - prev:7.1f} ms")

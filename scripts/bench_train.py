@@ -37,6 +37,14 @@ def main():
     ap.add_argument("--batch", type=int, default=34)
     ap.add_argument("--doc-len", type=int, default=384)
     ap.add_argument("--variants", type=str, default="")
+    ap.add_argument("--dist-runs", type=str, default="",
+                    help="comma-separated substring filter of dist-mode run names")
+    ap.add_argument("--dist", action="store_true",
+                    help="realistic-doclen mode: lognormal doc lengths "
+                         "(mean ~170 tok, clipped to doc-len), length-grouped "
+                         "pools of 8 batches, doc_length_buckets truncation — "
+                         "measures the bucketing win the all-384 operating "
+                         "point cannot show")
     args = ap.parse_args()
 
     import sys
@@ -98,6 +106,78 @@ def main():
 
     def key_for(impl):
         return jax.random.key(1, impl=impl)
+
+    if args.dist:
+        # realistic-doclen mode: most passages are far below doc_maxlen
+        # (the reference pads every training doc to 384, tokenizers.py:78-95;
+        # here doc_length_buckets + length-grouped pools truncate per batch)
+        buckets = tuple(b for b in (128, 192, 256, Ld) if b <= Ld)
+
+        def make_bucket_step(model, donate=False):
+            def step(state, key, d_ids_b, d_attn_b):
+                def loss_for(p, k):
+                    rngs = {"dropout": jax.random.fold_in(k, 0)}
+                    Q = model.apply({"params": p}, q_ids, q_attn, deterministic=False,
+                                    method=model.query, rngs=rngs)
+                    rngs2 = {"dropout": jax.random.fold_in(k, 1)}
+                    D = model.apply({"params": p}, d_ids_b, d_attn_b, deterministic=False,
+                                    method=model.doc, rngs=rngs2)
+                    scores = maxsim_xla(Q, D, q_act, d_act) / 0.05
+                    labels = jnp.arange(B, dtype=jnp.int32) * group
+                    return biencoder_nll_loss(scores, labels)
+
+                loss, grads = jax.value_and_grad(loss_for)(state.params, key)
+                return state.apply_gradients(grads=grads), loss
+            # donate matches the production trainer (trainer.py:159)
+            return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+        n_batches = args.steps
+        # lognormal doclens, median ~160 tokens, clipped (an assumed
+        # DuReader-like passage distribution; no corpus is available offline)
+        lens = np.clip(rng.lognormal(np.log(160.0), 0.55, n_batches * B * group),
+                       24, Ld).astype(np.int64)
+
+        def batch_lengths(grouped: bool):
+            ls = lens.copy()
+            if grouped:  # pools of 8 batches, sorted within pool
+                pool = 8 * B * group
+                for lo in range(0, len(ls), pool):
+                    ls[lo : lo + pool] = np.sort(ls[lo : lo + pool])
+            per_batch = ls.reshape(n_batches, B * group).max(axis=1)
+            return [next(b for b in buckets if b >= m) for m in per_batch]
+
+        byte_out_mc = dataclasses.replace(
+            mc, dropout_impl="byte", attention_dropout_site="output")
+        runs = (
+            ("random-batches", False, mc, False),
+            ("length-grouped", True, mc, False),
+            ("grouped+bytedrop", True, byte_out_mc, False),
+            ("grouped+byte+donate", True, byte_out_mc, True),
+        )
+        want = [w for w in args.dist_runs.split(",") if w]
+        for name, grouped, mci, donate in runs:
+            if want and not any(w in name for w in want):
+                continue
+            step_fn = make_bucket_step(ColbertModel(mci, cfg.multiview), donate)
+            Ls = batch_lengths(grouped)
+            data = {}
+            copy_state = lambda: jax.tree.map(jnp.copy, state)  # noqa: E731
+            for Lb in sorted(set(Ls)):
+                d_ids_b = jnp.asarray(rng.integers(0, mc.vocab_size, (B * group, Lb)), jnp.int32)
+                data[Lb] = (d_ids_b, jnp.ones_like(d_ids_b))
+                st, _ = step_fn(copy_state() if donate else state,
+                                key_for("threefry2x32"), *data[Lb])  # compile
+            np.asarray(jax.tree.leaves(st.params)[0][:1])
+            key = key_for("threefry2x32")
+            st = copy_state() if donate else state
+            t0 = time.perf_counter()
+            for i, Lb in enumerate(Ls):
+                st, loss = step_fn(st, jax.random.fold_in(key, i), *data[Lb])
+            float(loss)
+            dt = (time.perf_counter() - t0) / n_batches
+            print(f"dist/{name:16s}: {dt*1e3:7.1f} ms/step  ex/s={B/dt:6.1f}  "
+                  f"mean padded doclen {np.mean(Ls):.0f} (buckets {buckets})", flush=True)
+        return
 
     flash = dataclasses.replace(mc, attention_impl="flash")
     byte = dataclasses.replace(mc, dropout_impl="byte")

@@ -31,17 +31,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 STAGES = ("data", "train", "encode", "index", "evaluate")
 
 
-def build_data(workdir: str, max_entries: int, num_negatives: int, seed: int = 0):
+def build_data(workdir: str, max_entries: int, num_negatives: int, seed: int = 0,
+               vocab_kind: str = "charword"):
     from colbert_tpu.evaluation.pydocs import (
         build_retrieval_dataset, collect_docstrings, train_dev_split,
     )
-    from colbert_tpu.tokenization import build_vocab, write_vocab
+    from colbert_tpu.tokenization import build_vocab, train_wordpiece, write_vocab
 
     t0 = time.time()
     entries = collect_docstrings(max_entries=max_entries)
     texts, examples = build_retrieval_dataset(entries, num_negatives=num_negatives, seed=seed)
     train, dev = train_dev_split(examples, dev_frac=0.04, seed=seed)
-    vocab = build_vocab(texts + [e["question"] for e in examples], max_size=30000)
+    vocab_texts = texts + [e["question"] for e in examples]
+    if vocab_kind == "wordpiece":
+        # learned subword merges (VERDICT r2 item 9) vs the char+word builder
+        vocab = train_wordpiece(vocab_texts, vocab_size=30000)
+    else:
+        vocab = build_vocab(vocab_texts, max_size=30000)
     write_vocab(vocab, os.path.join(workdir, "vocab.txt"))
     json.dump(texts, open(os.path.join(workdir, "corpus.json"), "w"))
     json.dump(train, open(os.path.join(workdir, "train.json"), "w"))
@@ -50,7 +56,7 @@ def build_data(workdir: str, max_entries: int, num_negatives: int, seed: int = 0
           f"vocab {len(vocab)}, {time.time()-t0:.0f}s", flush=True)
 
 
-def write_config(workdir: str, on_tpu: bool):
+def write_config(workdir: str, on_tpu: bool, fast: bool = False):
     import yaml
 
     conf = {
@@ -74,6 +80,13 @@ def write_config(workdir: str, on_tpu: bool):
                   "max_candidates": 2048},
         "mesh": {"data": -1, "model": 1},
     }
+    if fast:
+        # round-3 training-throughput options: per-batch doc-length buckets +
+        # length-grouped pools + byte dropout (bench_train.py --dist numbers)
+        conf["train"].update({"doc_length_buckets": [96, 160, 224],
+                              "length_group_pool": 8})
+        conf["model"].update({"dropout_impl": "byte",
+                              "attention_dropout_site": "output"})
     path = os.path.join(workdir, "conf.yaml")
     yaml.safe_dump(conf, open(path, "w"))
     return path
@@ -87,6 +100,9 @@ def main():
     ap.add_argument("--stage", default="data", choices=STAGES,
                     help="start from this stage (earlier outputs must exist)")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--vocab", default="charword", choices=("charword", "wordpiece"))
+    ap.add_argument("--fast", action="store_true",
+                    help="doc-length buckets + length-grouped batches + byte dropout")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -94,8 +110,9 @@ def main():
     start = STAGES.index(args.stage)
 
     if start <= 0:
-        build_data(args.workdir, args.max_entries, args.num_negatives)
-    conf = write_config(args.workdir, on_tpu)
+        build_data(args.workdir, args.max_entries, args.num_negatives,
+                   vocab_kind=args.vocab)
+    conf = write_config(args.workdir, on_tpu, fast=args.fast)
 
     from colbert_tpu.cli import main as cli
 

@@ -275,3 +275,46 @@ def test_ce_grad_accum_matches_single_step(tiny_cfg, tokenizer, mesh8, tmp_path)
     b = CETrainer(mk(2, "ce_b"), tokenizer, mesh=mesh8)
     lb = b.train(ds, num_epochs=1)
     assert len(la) == len(lb) and np.isfinite(lb).all()
+
+
+def test_length_grouped_sampler_tightens_batch_max():
+    """length_group_pool sorts within pools so batch-max doclen tracks the
+    local length scale (makes doc_length_buckets effective on heavy-tailed
+    corpora)."""
+    import numpy as np
+
+    from colbert_tpu.config import TrainConfig
+    from colbert_tpu.training.dataset import RetrievalDataset, RetrievalSampler
+
+    rng = np.random.default_rng(0)
+    exs = []
+    for i in range(256):
+        n = int(rng.integers(1, 60))
+        exs.append({
+            "question": "q" * 5,
+            "positive_ctxs": ["p " * n],
+            "hard_negative_ctxs": ["n " * int(rng.integers(1, 60)) for _ in range(3)],
+        })
+    ds = RetrievalDataset(exs)
+
+    class _T:  # tokenizer stub: records batch text lengths
+        def encode_queries(self, qs):
+            import types
+            a = np.ones((len(qs), 4), np.int32)
+            return types.SimpleNamespace(input_ids=a, attention_mask=a, active_mask=a)
+
+        def encode_docs(self, ds_):
+            import types
+            L = max(len(t.split()) for t in ds_)
+            a = np.ones((len(ds_), L), np.int32)
+            return types.SimpleNamespace(input_ids=a, attention_mask=a, active_mask=a)
+
+    def batch_maxes(pool):
+        cfg = TrainConfig(length_group_pool=pool, seed=7)
+        s = RetrievalSampler(ds, _T(), cfg, batch_size=16)
+        return [b.d_ids.shape[1] for b in s.epoch(0)]
+
+    rand_m = batch_maxes(0)
+    grp_m = batch_maxes(4)
+    assert sorted(rand_m) != grp_m or np.mean(grp_m) < np.mean(rand_m)
+    assert np.mean(grp_m) < np.mean(rand_m)  # grouped batches are tighter
