@@ -27,6 +27,26 @@ from colbert_tpu.utils.logging import get_logger
 logger = get_logger("cli")
 
 
+def _host_fingerprint() -> str:
+    """Hash of the host CPU's feature flags.  XLA:CPU AOT executables cached
+    on one machine can SIGILL on another (the cache key does not fully cover
+    CPU features — the loader only WARNS on mismatch), so a persistent cache
+    shared across hosts (e.g. a home dir that outlives the machine) must be
+    keyed per-CPU."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
+
 def _setup_jax_cache() -> None:
     """Persistent XLA compile cache — first-run compiles of the big jitted
     programs (train step, k-means, fused search) are minutes on TPU."""
@@ -34,7 +54,10 @@ def _setup_jax_cache() -> None:
 
     import jax
 
-    cache = os.environ.get("COLBERT_TPU_JAX_CACHE", os.path.expanduser("~/.cache/colbert_tpu_jax"))
+    cache = os.environ.get(
+        "COLBERT_TPU_JAX_CACHE",
+        os.path.expanduser(f"~/.cache/colbert_tpu_jax-{_host_fingerprint()}"),
+    )
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -90,6 +90,22 @@ class ModelConfig:
     # Trades ~30% extra fwd FLOPs for O(L) activation memory — enables much
     # larger per-chip batches.
     remat: str = "none"
+    # fuse the q/k/v projections into ONE (H, 3H) matmul per layer (kernels
+    # concatenated at apply time; the parameter tree keeps the separate HF
+    # query/key/value entries, so checkpoint conversion is unchanged).
+    fused_qkv: bool = False
+    # attention logits/softmax dtype: "fp32" (reference semantics; the
+    # (B, h, L, L) logits materialize in fp32) or "compute" (logits and
+    # softmax in the compute dtype — halves the attention HBM traffic at
+    # bf16; softmax is max-subtracted so bf16 is stable for BERT-scale
+    # logits, but this is a documented numerics deviation).
+    attention_softmax_dtype: str = "fp32"
+    # word-embedding lookup: "take" (gather fwd / scatter-add bwd) or
+    # "onehot" (one-hot matmul both ways — the embedding gradient becomes a
+    # dense MXU matmul instead of a serialized scatter-add; pays
+    # O(tokens x vocab x hidden) extra FLOPs, a win when the scatter is the
+    # bottleneck and vocab is small).
+    embedding_impl: str = "take"
 
 
 @dataclass
@@ -351,6 +367,12 @@ class ColbertConfig:
             raise ValueError(
                 f"unknown attention_dropout_site: {self.model.attention_dropout_site}"
             )
+        if self.model.attention_softmax_dtype not in ("fp32", "compute"):
+            raise ValueError(
+                f"unknown attention_softmax_dtype: {self.model.attention_softmax_dtype}"
+            )
+        if self.model.embedding_impl not in ("take", "onehot"):
+            raise ValueError(f"unknown embedding_impl: {self.model.embedding_impl}")
         if self.serve.rerank_table not in ("hbm", "host"):
             raise ValueError(
                 f"serve.rerank_table must be 'hbm' or 'host', got {self.serve.rerank_table!r}"

@@ -78,6 +78,21 @@ def _dropout(cfg: ModelConfig, rate: float):
     return nn.Dropout(rate)
 
 
+class _EmbedParams(nn.Module):
+    """An ``nn.Embed``-shaped parameter holder (same tree path) that lets the
+    caller choose the lookup implementation (see ``embedding_impl``)."""
+
+    num_embeddings: int
+    features: int
+    embedding_init: object
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "embedding", self.embedding_init, (self.num_embeddings, self.features)
+        )
+
+
 class BertEmbeddings(nn.Module):
     cfg: ModelConfig
 
@@ -85,11 +100,20 @@ class BertEmbeddings(nn.Module):
     def __call__(self, input_ids, token_type_ids, deterministic: bool):
         c = self.cfg
         init = nn.initializers.normal(c.initializer_range)
-        word = nn.Embed(c.vocab_size, c.hidden_size, embedding_init=init, dtype=_dtype(c), name="word_embeddings")
         pos = nn.Embed(c.max_position_embeddings, c.hidden_size, embedding_init=init, dtype=_dtype(c), name="position_embeddings")
         typ = nn.Embed(c.type_vocab_size, c.hidden_size, embedding_init=init, dtype=_dtype(c), name="token_type_embeddings")
         positions = jnp.arange(input_ids.shape[1])[None, :]
-        x = word(input_ids) + pos(positions) + typ(token_type_ids)
+        if c.embedding_impl == "onehot":
+            # dense one-hot matmul: the word-embedding gradient becomes an
+            # MXU matmul instead of a serialized scatter-add (the one-hot is
+            # an iota-compare XLA fuses into the dot, never materialized)
+            table = _EmbedParams(c.vocab_size, c.hidden_size, init, name="word_embeddings")()
+            oh = jax.nn.one_hot(input_ids, c.vocab_size, dtype=_dtype(c))
+            xw = oh @ table.astype(_dtype(c))
+        else:
+            word = nn.Embed(c.vocab_size, c.hidden_size, embedding_init=init, dtype=_dtype(c), name="word_embeddings")
+            xw = word(input_ids)
+        x = xw + pos(positions) + typ(token_type_ids)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=_dtype(c), name="layernorm")(x)
         return _dropout(c, c.hidden_dropout)(x, deterministic=deterministic)
 
@@ -109,6 +133,22 @@ def _use_flash(cfg: ModelConfig, seq_len: int) -> bool:
     return on_tpu and seq_len % 128 == 0 and seq_len >= 128
 
 
+class _DenseParams(nn.Module):
+    """Holds a Dense layer's (kernel, bias) under the standard HF names
+    without applying it — lets ``fused_qkv`` concatenate the three
+    projections into one matmul while keeping the parameter tree (and
+    torch checkpoint conversion) identical to three ``nn.Dense`` modules."""
+
+    features: int
+    kernel_init: object
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", self.kernel_init, (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class BertSelfAttention(nn.Module):
     cfg: ModelConfig
 
@@ -118,10 +158,25 @@ class BertSelfAttention(nn.Module):
         h, nh = c.hidden_size, c.num_heads
         hd = h // nh
         init = nn.initializers.normal(c.initializer_range)
-        dense = lambda name: nn.Dense(h, kernel_init=init, dtype=_dtype(c), name=name)
-        q = dense("query")(x).reshape(*x.shape[:2], nh, hd)
-        k = dense("key")(x).reshape(*x.shape[:2], nh, hd)
-        v = dense("value")(x).reshape(*x.shape[:2], nh, hd)
+        if c.fused_qkv:
+            # one (H, 3H) matmul instead of three (H, H): fewer kernel
+            # launches, one fused bwd dX matmul; params stay separate
+            wq, bq = _DenseParams(h, init, name="query")(h)
+            wk, bk = _DenseParams(h, init, name="key")(h)
+            wv, bv = _DenseParams(h, init, name="value")(h)
+            W = jnp.concatenate([wq, wk, wv], axis=1).astype(_dtype(c))
+            bqkv = jnp.concatenate([bq, bk, bv]).astype(_dtype(c))
+            qkv = x @ W + bqkv
+            q, k, v = (
+                qkv[..., :h].reshape(*x.shape[:2], nh, hd),
+                qkv[..., h : 2 * h].reshape(*x.shape[:2], nh, hd),
+                qkv[..., 2 * h :].reshape(*x.shape[:2], nh, hd),
+            )
+        else:
+            dense = lambda name: nn.Dense(h, kernel_init=init, dtype=_dtype(c), name=name)
+            q = dense("query")(x).reshape(*x.shape[:2], nh, hd)
+            k = dense("key")(x).reshape(*x.shape[:2], nh, hd)
+            v = dense("value")(x).reshape(*x.shape[:2], nh, hd)
         if _use_flash(c, x.shape[1]):
             # fused flash-attention kernel: the (B, nh, L, L) logits/probs
             # never hit HBM (recomputed in bwd) — the XLA path materializes
@@ -143,9 +198,12 @@ class BertSelfAttention(nn.Module):
             # random bits than the (B, nh, L, L) probs mask)
             ctx = _dropout(c, c.attention_dropout)(ctx, deterministic=deterministic)
         else:
-            # fp32 logits + softmax for stability, bf16 everywhere else
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-            logits = logits / jnp.sqrt(hd).astype(jnp.float32) + bias
+            # fp32 logits + softmax for stability by default ("compute"
+            # halves the (B, h, L, L) HBM traffic at bf16; softmax is
+            # max-subtracted so bf16 is stable at BERT logit scales)
+            sm = jnp.float32 if c.attention_softmax_dtype == "fp32" else _dtype(c)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=sm)
+            logits = logits / jnp.sqrt(hd).astype(sm) + bias.astype(sm)
             probs = jax.nn.softmax(logits, axis=-1).astype(_dtype(c))
             if c.attention_dropout_site == "probs":
                 probs = _dropout(c, c.attention_dropout)(probs, deterministic=deterministic)

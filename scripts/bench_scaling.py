@@ -87,6 +87,12 @@ def main():
     ap.add_argument("--partitions", type=int, default=0,
                     help="IVF partitions; 0 = the reference's auto formula "
                          "1<<round(log2(8*sqrt(N))) (faiss_indexers.py:279-286)")
+    ap.add_argument("--codec", default="sq", choices=("sq", "pq4", "pq"),
+                    help="index codec (pq4 for the DESIGN crossover table)")
+    ap.add_argument("--sweep", default="",
+                    help="serve-knob sweep on ONE index + oracle per size: "
+                         "comma-separated nprobe:depth:topr:maxcand combos, "
+                         "e.g. '128:512:8:4096,256:768:8:6144'")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -119,71 +125,85 @@ def main():
     class _Tok:
         pass
 
+    combos = [(nprobe, depth, args.list_topr, args.max_candidates)]
+    if args.sweep:
+        combos = [tuple(int(x) for x in c.split(":")) for c in args.sweep.split(",")]
+
     rows = []
     for num_docs in sizes:
-        cfg = ColbertConfig(
-            model=model_cfg,
-            multiview=MultiviewConfig(enabled=True, q_view=q_view, d_view=d_view),
-            tokenizer=TokenizerConfig(vocab_path="unused", query_maxlen=32, doc_maxlen=384),
-            index=IndexConfig(codec="sq", sq_dim=64, kmeans_iters=10,
-                              balance_factor=args.balance_factor,
-                              partitions=args.partitions),
-            serve=ServeConfig(nprobe=nprobe, candidate_depth=depth, topk=topk,
-                              max_candidates=args.max_candidates, rerank_dtype=args.rerank_dtype,
-                              probe_list_topr=args.list_topr),
-            mesh=MeshConfig(data=-1, model=1),
-        )
+        def cfg_for(np_, dp_, r_, mc_):
+            return ColbertConfig(
+                model=model_cfg,
+                multiview=MultiviewConfig(enabled=True, q_view=q_view, d_view=d_view),
+                tokenizer=TokenizerConfig(vocab_path="unused", query_maxlen=32, doc_maxlen=384),
+                index=IndexConfig(codec=args.codec, sq_dim=64, pq_m=64, pq4_m=128,
+                                  kmeans_iters=10, pq_kmeans_iters=10,
+                                  balance_factor=args.balance_factor,
+                                  partitions=args.partitions),
+                serve=ServeConfig(nprobe=np_, candidate_depth=dp_, topk=topk,
+                                  max_candidates=mc_, rerank_dtype=args.rerank_dtype,
+                                  probe_list_topr=r_),
+                mesh=MeshConfig(data=-1, model=1),
+            )
+
+        cfg = cfg_for(*combos[0])
         t0 = time.time()
         embs = make_synthetic_embeddings(num_docs, d_view, dim)
         storage = build_synthetic_index(embs, num_docs, d_view, dim, cfg)
         print(f"[{num_docs}] index ready in {time.time()-t0:.0f}s", flush=True)
-        searcher = ColbertSearcher(cfg, _Tok(), params, storage, mesh=mesh)
+        del embs
         ivf = storage.read_ivf()
         lens = ivf["offsets"][1:] - ivf["offsets"][:-1]
         bytes_codes = int(ivf["codes"].nbytes)
-        bytes_table = int(np.asarray(searcher.emb_table).nbytes)
+        del ivf
 
-        kw = dict(topk=topk, nprobe=nprobe, depth=depth, query_chunk=8)
-        res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)  # compile
-        res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
-        lat = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
+        oracle = None
+        for np_, dp_, r_, mc_ in combos:
+            searcher = ColbertSearcher(cfg_for(np_, dp_, r_, mc_), _Tok(), params, storage, mesh=mesh)
+            bytes_table = int(np.asarray(searcher.emb_table).nbytes)
+            kw = dict(topk=topk, nprobe=np_, depth=dp_, query_chunk=8)
+            res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)  # compile
             res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
-            lat.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        handles = [searcher.search_tokens_device(q_ids, q_attn, q_active, **kw)
-                   for _ in range(args.iters)]
-        for ts, tp in handles:
-            np.asarray(ts), np.asarray(tp)
-        pipe = (time.perf_counter() - t0) / args.iters
+            lat = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
+                lat.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            handles = [searcher.search_tokens_device(q_ids, q_attn, q_active, **kw)
+                       for _ in range(args.iters)]
+            for ts, tp in handles:
+                np.asarray(ts), np.asarray(tp)
+            pipe = (time.perf_counter() - t0) / args.iters
 
-        recall = float("nan")
-        if num_docs <= args.oracle_max_docs:
-            oracle = oracle_topk(searcher, model, params, q_ids, q_attn, q_active, topk)
-            recall = float(np.mean([
-                len(set(res.pids[i]) & set(oracle[i])) / topk for i in range(args.batch)
-            ]))
-        row = {
-            "docs": num_docs, "vectors": num_docs * d_view,
-            "p50_ms": round(float(np.median(lat)) * 1e3, 1),
-            "qps_seq": round(args.batch / float(np.median(lat)), 1),
-            "qps_pipelined": round(args.batch / pipe, 1),
-            "recall@100": round(recall, 3) if np.isfinite(recall) else None,
-            "codes_MB": round(bytes_codes / 1e6, 1),
-            "table_MB": round(bytes_table / 1e6, 1),
-            "list_len_p50": int(np.percentile(lens, 50)),
-            "list_len_p99": int(np.percentile(lens, 99)),
-            "list_len_max": int(lens.max()),
-        }
-        rows.append(row)
-        print(json.dumps(row), flush=True)
-        del searcher
+            recall = float("nan")
+            if num_docs <= args.oracle_max_docs:
+                if oracle is None:  # knob-independent: compute once per index
+                    oracle = oracle_topk(searcher, model, params, q_ids, q_attn, q_active, topk)
+                recall = float(np.mean([
+                    len(set(res.pids[i]) & set(oracle[i])) / topk for i in range(args.batch)
+                ]))
+            row = {
+                "docs": num_docs, "vectors": num_docs * d_view,
+                "knobs": f"nprobe{np_} d{dp_} r{r_} c{mc_}",
+                "p50_ms": round(float(np.median(lat)) * 1e3, 1),
+                "qps_seq": round(args.batch / float(np.median(lat)), 1),
+                "qps_pipelined": round(args.batch / pipe, 1),
+                "recall@100": round(recall, 3) if np.isfinite(recall) else None,
+                "codes_MB": round(bytes_codes / 1e6, 1),
+                "table_MB": round(bytes_table / 1e6, 1),
+                "list_len_p50": int(np.percentile(lens, 50)),
+                "list_len_p99": int(np.percentile(lens, 99)),
+                "list_len_max": int(lens.max()),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            del searcher
 
-    print("\n| docs | vectors | p50 ms | QPS seq | QPS pipelined | recall@100 | codes MB | table MB | list p50/p99/max |")
-    print("|---|---|---|---|---|---|---|---|---|")
+    print("\n| docs | vectors | knobs | p50 ms | QPS seq | QPS pipelined | recall@100 | codes MB | table MB | list p50/p99/max |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r['docs']} | {r['vectors']} | {r['p50_ms']} | {r['qps_seq']} | "
+        print(f"| {r['docs']} | {r['vectors']} | {r['knobs']} | {r['p50_ms']} | {r['qps_seq']} | "
               f"{r['qps_pipelined']} | {r['recall@100']} | {r['codes_MB']} | {r['table_MB']} | "
               f"{r['list_len_p50']}/{r['list_len_p99']}/{r['list_len_max']} |")
 

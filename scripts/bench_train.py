@@ -148,10 +148,12 @@ def main():
 
         byte_out_mc = dataclasses.replace(
             mc, dropout_impl="byte", attention_dropout_site="output")
+        sm16_mc = dataclasses.replace(byte_out_mc, attention_softmax_dtype="compute")
         runs = (
             ("random-batches", False, mc, False),
             ("length-grouped", True, mc, False),
             ("grouped+bytedrop", True, byte_out_mc, False),
+            ("grouped+sm16", True, sm16_mc, False),
             # donate: opt-in via --dist-runs donate.  On the tunnel backend
             # donated buffers are apparently NOT freed across the 4 bucket
             # executables (ResourceExhausted even running this variant
@@ -190,6 +192,9 @@ def main():
     exact = dataclasses.replace(mc, dropout_impl="exact")
     hw = dataclasses.replace(mc, dropout_impl="hw")
     hw_out = dataclasses.replace(hw, attention_dropout_site="output")
+    qkv = dataclasses.replace(byte_out, fused_qkv=True)
+    sm16 = dataclasses.replace(byte_out, attention_softmax_dtype="compute")
+    best = dataclasses.replace(qkv, attention_softmax_dtype="compute")
     variants = [
         # measured once: xla+rbg = 613.6 ms/step (rbg 2.1x SLOWER; dropped)
         # round-3 history: exact 288.5 | flash 375.5 | nodrop 179.9 |
@@ -203,6 +208,17 @@ def main():
         ("xla-fwd-only", mc, "threefry2x32", True, "fwd"),
         ("flash", flash, "threefry2x32", False, "step"),
         ("flash-fwd-only", flash, "threefry2x32", True, "fwd"),
+        # round-3 MFU push: fused qkv projection + compute-dtype softmax
+        ("attnout+qkv", qkv, "threefry2x32", False, "step"),
+        ("attnout+sm16", sm16, "threefry2x32", False, "step"),
+        ("attnout+qkv+sm16", best, "threefry2x32", False, "step"),
+        ("best+nodrop", dataclasses.replace(mc, fused_qkv=True, attention_softmax_dtype="compute"),
+         "threefry2x32", True, "step"),
+        ("best-fwd-only", dataclasses.replace(mc, fused_qkv=True, attention_softmax_dtype="compute"),
+         "threefry2x32", True, "fwd"),
+        # embedding-grad scatter -> dense one-hot matmul
+        ("sm16+onehot", dataclasses.replace(sm16, embedding_impl="onehot"),
+         "threefry2x32", False, "step"),
     ]
     if args.variants:
         names = set(args.variants.split(","))

@@ -1,15 +1,21 @@
-"""Two-stage + iterative-mining quality recipe on the pydocs corpus
-(VERDICT r2 item 5): the reference's full quality loop —
-retrieve -> CE rerank (stage 6, ce_trainer.py:97-123) and
-retrieve -> mine -> retrain -> re-evaluate (gen_iter,
-proj_utils/dureader_utils.py:76-83) — through the CLI, recording a
-three-row table (retriever / +CE / +mining) from ``cmd_evaluate``.
+"""Two-stage + iterative-mining quality table on the pydocs corpus
+(VERDICT r2 item 5): three rows through ``cmd_evaluate`` —
 
-Assumes a completed ``real_data_e2e.py`` workdir (trained retriever,
-index, corpus/train/dev JSONs).
+  1. retriever only                (train -> encode -> build-index -> evaluate)
+  2. + one hard-negative mining round  (mine -> retrain -> re-encode -> re-evaluate)
+  3. + cross-encoder second stage  (train-ce on mined negatives -> evaluate --rerank-ce)
+
+The reference recipe: ``proj_utils/dureader_utils.py:76-83`` (gen_iter mining),
+``colbert/training/ce_trainer.py:97-123`` (CE rerank of top-100).  The CE's
+negatives are retrieval-derived with positives filtered out (gen_ce parity,
+``dureader_utils.py:30-36``).
+
+Uses the learned WordPiece vocab (VERDICT r2 item 9) — the baseline row doubles
+as the WordPiece-vs-charword delta against BENCHLOG's 40-epoch charword table.
 
 Usage:
-  python scripts/two_stage_e2e.py --workdir /tmp/pydocs_e2e [--stage ce|mine]
+  python scripts/two_stage_e2e.py --workdir /tmp/pydocs_2stage
+  python scripts/two_stage_e2e.py --workdir ... --stage mine   # resume
 """
 
 from __future__ import annotations
@@ -27,97 +33,162 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/colbert_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-STAGES = ("ce", "ce-eval", "mine", "retrain", "reindex", "mine-eval")
+STAGES = ("data", "train", "eval_base", "mine", "retrain", "eval_mined",
+          "train_ce", "eval_ce")
 
 
-def patch_config(workdir: str, on_tpu: bool) -> str:
-    """Extend the retriever conf with CE sections (small from-scratch CE:
-    no pretrained checkpoint exists in this environment)."""
+def write_config(workdir: str, on_tpu: bool, mined: bool) -> str:
+    """Pipeline config; ``mined=True`` points checkpoints/index at the
+    post-mining copies so both generations stay on disk."""
     import yaml
 
-    conf = yaml.safe_load(open(os.path.join(workdir, "conf.yaml")))
-    conf["ce_model"] = {
-        "vocab_size": conf["model"]["vocab_size"], "hidden_size": 256,
-        "num_layers": 4, "num_heads": 4, "intermediate_size": 1024,
-        "max_position_embeddings": 288, "dim": 128,
-        "dtype": "bfloat16" if on_tpu else "float32",
+    tag = "2" if mined else ""
+    conf = {
+        "model": {"vocab_size": 30592, "hidden_size": 256, "num_layers": 4,
+                  "num_heads": 4, "intermediate_size": 1024,
+                  "max_position_embeddings": 256, "dim": 128,
+                  "dtype": "bfloat16" if on_tpu else "float32",
+                  "dropout_impl": "byte", "attention_dropout_site": "output",
+                  "attention_softmax_dtype": "compute"},
+        "multiview": {"enabled": True, "q_view": 8, "d_view": 8},
+        "tokenizer": {"vocab_path": os.path.join(workdir, "vocab.txt"),
+                      "query_maxlen": 32, "doc_maxlen": 224, "ce_maxlen": 256},
+        "train": {"learning_rate": 5e-4, "per_device_batch_size": 32 if on_tpu else 4,
+                  "num_epochs": 40 if on_tpu else 1, "evals_per_epoch": 1,
+                  "score_temperature": 0.05, "warmup_ratio": 0.05,
+                  "checkpoint_dir": os.path.join(workdir, f"ckpt{tag}"),
+                  "keep_checkpoints": 3, "log_every": 100,
+                  "doc_length_buckets": [96, 160, 224], "length_group_pool": 8},
+        # CE: same BERT-small scale (no pretrained macbert exists offline);
+        # from-scratch lr matched to the retriever's
+        "ce_model": {"vocab_size": 30592, "hidden_size": 256, "num_layers": 4,
+                     "num_heads": 4, "intermediate_size": 1024,
+                     "max_position_embeddings": 256,
+                     "dtype": "bfloat16" if on_tpu else "float32",
+                     "dropout_impl": "byte", "attention_dropout_site": "output",
+                     "attention_softmax_dtype": "compute"},
+        "ce_train": {"learning_rate": 3e-4, "per_device_batch_size": 16 if on_tpu else 2,
+                     "num_epochs": 5 if on_tpu else 1, "neg_num": 4,
+                     "evals_per_epoch": 1, "eval_topk": 100,
+                     "checkpoint_dir": os.path.join(workdir, "ckpt_ce"),
+                     "keep_checkpoints": 3, "log_every": 100},
+        "index": {"codec": "sq", "sq_dim": 64, "kmeans_iters": 10,
+                  "index_path": os.path.join(workdir, f"index{tag}"),
+                  "num_parts": 4},
+        "serve": {"nprobe": 64, "candidate_depth": 256, "topk": 100,
+                  "max_candidates": 2048},
+        "mesh": {"data": -1, "model": 1},
     }
-    conf["tokenizer"]["ce_maxlen"] = 256
-    conf["ce_train"] = {
-        # from-scratch CE: retriever-scale LR, not the reference's 1e-5
-        # (that was for pretrained macbert-large, eval.sh:46)
-        "learning_rate": 2e-4, "per_device_batch_size": 16 if on_tpu else 2,
-        "num_epochs": 8 if on_tpu else 1, "neg_num": 4,
-        "evals_per_epoch": 1, "keep_checkpoints": 2, "log_every": 50,
-        "checkpoint_dir": os.path.join(workdir, "ckpt_ce"),
-    }
-    path = os.path.join(workdir, "conf_ce.yaml")
+    path = os.path.join(workdir, f"conf{tag}.yaml")
     yaml.safe_dump(conf, open(path, "w"))
     return path
+
+
+def filter_positives(mined_path: str, out_path: str) -> None:
+    """gen_ce parity: CE negatives must not contain positives
+    (``dureader_utils.py:30-36``); mining (gen_iter) does not filter them."""
+    data = json.load(open(mined_path))
+    kept = []
+    for ex in data:
+        pos = set(ex["positive_ctxs"])
+        negs = [n for n in ex["hard_negative_ctxs"] if n not in pos]
+        if negs:
+            kept.append({**ex, "hard_negative_ctxs": negs})
+    json.dump(kept, open(out_path, "w"))
+    print(f"ce data: {len(kept)}/{len(data)} examples after positive filtering", flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
-    ap.add_argument("--stage", default="ce", choices=STAGES)
-    ap.add_argument("--ce-epochs", type=int, default=None)
-    ap.add_argument("--retrain-epochs", type=int, default=40)
+    ap.add_argument("--max-entries", type=int, default=20000)
+    ap.add_argument("--stage", default="data", choices=STAGES)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--stop-after", default=None, choices=STAGES)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (validation; the image pins "
+                         "JAX_PLATFORMS=axon at interpreter start)")
     args = ap.parse_args()
-    wd = args.workdir
+    os.makedirs(args.workdir, exist_ok=True)
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.devices()[0].platform not in ("cpu", "gpu")
-    conf = patch_config(wd, on_tpu)
     start = STAGES.index(args.stage)
+    results = {}
+    res_path = os.path.join(args.workdir, "table.json")
+    if os.path.exists(res_path):
+        results = json.load(open(res_path))
+
+    def record(row, metrics_file):
+        results[row] = json.load(open(metrics_file))
+        json.dump(results, open(res_path, "w"), indent=2)
+        print(f"[{row}] {results[row]}", flush=True)
+
+    from scripts.real_data_e2e import build_data
+
+    if start <= STAGES.index("data"):
+        build_data(args.workdir, args.max_entries, num_negatives=20,
+                   vocab_kind="wordpiece")
+    conf = write_config(args.workdir, on_tpu, mined=False)
+    conf2 = write_config(args.workdir, on_tpu, mined=True)
 
     from colbert_tpu.cli import main as cli
 
-    corpus = os.path.join(wd, "corpus.json")
-    train, dev = os.path.join(wd, "train.json"), os.path.join(wd, "dev.json")
-    sets_ce = ["--set", f"ce_train.num_epochs={args.ce_epochs}"] if args.ce_epochs else []
+    sets = ["--set", f"train.num_epochs={args.epochs}"] if args.epochs else []
+    train_json = os.path.join(args.workdir, "train.json")
+    dev_json = os.path.join(args.workdir, "dev.json")
+    corpus_json = os.path.join(args.workdir, "corpus.json")
+    mined_json = os.path.join(args.workdir, "train_iter1.json")
+    ce_json = os.path.join(args.workdir, "train_ce.json")
 
-    if start <= 0:  # CE training
+    def run(stage, fn):
+        if start > STAGES.index(stage):
+            return
         t0 = time.time()
-        cli(["train-ce", "--config", conf, "--train-data", train, "--dev-data", dev] + sets_ce)
-        print(f"train-ce done in {time.time()-t0:.0f}s", flush=True)
-    if start <= 1:  # two-stage eval: retriever + CE rerank
-        t0 = time.time()
-        cli(["evaluate", "--config", conf, "--eval-data", dev, "--corpus", corpus,
+        fn()
+        print(f"{stage} done in {time.time() - t0:.0f}s", flush=True)
+        if args.stop_after == stage:
+            sys.exit(0)
+
+    run("train", lambda: cli(
+        ["train", "--config", conf, "--train-data", train_json, "--dev-data", dev_json] + sets))
+
+    def eval_base():
+        cli(["encode", "--config", conf, "--corpus", corpus_json])
+        cli(["build-index", "--config", conf])
+        cli(["evaluate", "--config", conf, "--eval-data", dev_json, "--corpus", corpus_json,
+             "--topk", "100", "--out", os.path.join(args.workdir, "metrics_base.json")])
+        record("retriever", os.path.join(args.workdir, "metrics_base.json"))
+    run("eval_base", eval_base)
+
+    run("mine", lambda: cli(
+        ["mine", "--config", conf, "--eval-data", train_json, "--corpus", corpus_json,
+         "--out", mined_json, "--topk", "50", "--keep-old", "10"]))
+
+    run("retrain", lambda: cli(
+        ["train", "--config", conf2, "--train-data", mined_json, "--dev-data", dev_json] + sets))
+
+    def eval_mined():
+        cli(["encode", "--config", conf2, "--corpus", corpus_json])
+        cli(["build-index", "--config", conf2])
+        cli(["evaluate", "--config", conf2, "--eval-data", dev_json, "--corpus", corpus_json,
+             "--topk", "100", "--out", os.path.join(args.workdir, "metrics_mined.json")])
+        record("retriever+mining", os.path.join(args.workdir, "metrics_mined.json"))
+    run("eval_mined", eval_mined)
+
+    def train_ce():
+        filter_positives(mined_json, ce_json)
+        cli(["train-ce", "--config", conf2, "--train-data", ce_json, "--dev-data", dev_json])
+    run("train_ce", train_ce)
+
+    run("eval_ce", lambda: (
+        cli(["evaluate", "--config", conf2, "--eval-data", dev_json, "--corpus", corpus_json,
              "--topk", "100", "--rerank-ce",
-             "--out", os.path.join(wd, "metrics_ce.json")])
-        print(f"evaluate+ce done in {time.time()-t0:.0f}s", flush=True)
-    if start <= 2:  # hard-negative mining from the CURRENT retriever
-        t0 = time.time()
-        cli(["mine", "--config", conf, "--eval-data", train, "--corpus", corpus,
-             "--out", os.path.join(wd, "train_iter1.json"), "--topk", "50"])
-        print(f"mine done in {time.time()-t0:.0f}s", flush=True)
+             "--out", os.path.join(args.workdir, "metrics_ce.json")]),
+        record("retriever+mining+ce", os.path.join(args.workdir, "metrics_ce.json"))))
 
-    # iteration-1 retriever: fresh checkpoint dir + index path
-    sets_iter = ["--set", f"train.checkpoint_dir={os.path.join(wd, 'ckpt_iter1')}",
-                 "--set", f"index.index_path={os.path.join(wd, 'index_iter1')}",
-                 "--set", f"train.num_epochs={args.retrain_epochs}"]
-    if start <= 3:
-        t0 = time.time()
-        cli(["train", "--config", conf, "--train-data", os.path.join(wd, "train_iter1.json"),
-             "--dev-data", dev] + sets_iter)
-        print(f"retrain done in {time.time()-t0:.0f}s", flush=True)
-    if start <= 4:
-        t0 = time.time()
-        cli(["encode", "--config", conf, "--corpus", corpus] + sets_iter)
-        cli(["build-index", "--config", conf] + sets_iter)
-        print(f"reindex done in {time.time()-t0:.0f}s", flush=True)
-    if start <= 5:
-        t0 = time.time()
-        cli(["evaluate", "--config", conf, "--eval-data", dev, "--corpus", corpus,
-             "--topk", "100", "--out", os.path.join(wd, "metrics_iter1.json")] + sets_iter)
-        cli(["evaluate", "--config", conf, "--eval-data", dev, "--corpus", corpus,
-             "--topk", "100", "--rerank-ce",
-             "--out", os.path.join(wd, "metrics_iter1_ce.json")] + sets_iter)
-        print(f"mine-eval done in {time.time()-t0:.0f}s", flush=True)
-
-    for name in ("metrics.json", "metrics_ce.json", "metrics_iter1.json", "metrics_iter1_ce.json"):
-        p = os.path.join(wd, name)
-        if os.path.exists(p):
-            print(name, json.load(open(p)), flush=True)
+    print(json.dumps(results, indent=2))
 
 
 if __name__ == "__main__":

@@ -148,3 +148,59 @@ class TestFastDropout:
         x = jnp.arange(12.0).reshape(3, 4)
         y = drop.apply({}, x, True)
         np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_fused_qkv_matches_unfused(colbert_and_params):
+    """fused_qkv concatenates the q/k/v kernels at apply time: identical
+    parameter tree, identical outputs (fp32 here, so exact up to reassoc)."""
+    import dataclasses
+
+    model, params = colbert_and_params
+    fused = ColbertModel(
+        dataclasses.replace(TINY, fused_qkv=True),
+        MultiviewConfig(enabled=True, q_view=4, d_view=6),
+    )
+    ids = jnp.arange(32, dtype=jnp.int32).reshape(2, 16) % 128
+    mask = jnp.ones((2, 16), jnp.int32)
+    # same param tree: init of the fused model produces the same structure
+    p2 = fused.init(jax.random.PRNGKey(0), ids, mask, ids, mask)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    a = model.apply({"params": params}, ids, mask, method=model.query)
+    b = fused.apply({"params": params}, ids, mask, method=fused.query)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_onehot_embedding_matches_take(colbert_and_params):
+    """embedding_impl='onehot' keeps the parameter tree and the outputs
+    identical (fp32: a one-hot matmul row-selects exactly)."""
+    import dataclasses
+
+    model, params = colbert_and_params
+    oh = ColbertModel(
+        dataclasses.replace(TINY, embedding_impl="onehot"),
+        MultiviewConfig(enabled=True, q_view=4, d_view=6),
+    )
+    ids = jnp.arange(32, dtype=jnp.int32).reshape(2, 16) % 128
+    mask = jnp.ones((2, 16), jnp.int32)
+    p2 = oh.init(jax.random.PRNGKey(0), ids, mask, ids, mask)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    a = model.apply({"params": params}, ids, mask, method=model.query)
+    b = oh.apply({"params": params}, ids, mask, method=oh.query)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_compute_softmax_close_to_fp32(colbert_and_params):
+    import dataclasses
+
+    model, params = colbert_and_params
+    sm = ColbertModel(
+        dataclasses.replace(TINY, attention_softmax_dtype="compute"),
+        MultiviewConfig(enabled=True, q_view=4, d_view=6),
+    )
+    ids = jnp.arange(32, dtype=jnp.int32).reshape(2, 16) % 128
+    mask = jnp.ones((2, 16), jnp.int32)
+    a = model.apply({"params": params}, ids, mask, method=model.query)
+    b = sm.apply({"params": params}, ids, mask, method=sm.query)
+    # fp32 compute dtype here, so the only difference is the einsum
+    # preferred_element_type — results must agree tightly
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
