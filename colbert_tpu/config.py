@@ -86,9 +86,12 @@ class ModelConfig:
     # flash path always does this).
     attention_dropout_site: str = "probs"
     # activation rematerialization for the encoder layers: "none", "dots"
-    # (save only matmul outputs), or "full" (save nothing; recompute all).
-    # Trades ~30% extra fwd FLOPs for O(L) activation memory — enables much
-    # larger per-chip batches.
+    # (save only matmul outputs), "full" (save nothing; recompute all), or
+    # "attn" (save everything except the (B, h, L, L) attention
+    # logits/probs — recomputed in bwd from the saved q/k at ~2% extra
+    # FLOPs; drops the layer's largest residual entirely).
+    # "dots"/"full" trade extra fwd FLOPs for O(L) activation memory —
+    # enable much larger per-chip batches.
     remat: str = "none"
     # fuse the q/k/v projections into ONE (H, 3H) matmul per layer (kernels
     # concatenated at apply time; the parameter tree keeps the separate HF
@@ -361,6 +364,8 @@ class ColbertConfig:
                 )
         if self.index.codec == "sq" and self.index.sq_dim > self.model.dim:
             raise ValueError("sq_dim must be <= model dim")
+        if self.model.remat not in ("none", "dots", "full", "attn"):
+            raise ValueError(f"unknown remat policy: {self.model.remat}")
         if self.model.dropout_impl not in ("byte", "exact", "hw"):
             raise ValueError(f"unknown dropout_impl: {self.model.dropout_impl}")
         if self.model.attention_dropout_site not in ("probs", "output"):

@@ -20,6 +20,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from colbert_tpu.config import ModelConfig
 
@@ -204,7 +205,15 @@ class BertSelfAttention(nn.Module):
             sm = jnp.float32 if c.attention_softmax_dtype == "fp32" else _dtype(c)
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=sm)
             logits = logits / jnp.sqrt(hd).astype(sm) + bias.astype(sm)
-            probs = jax.nn.softmax(logits, axis=-1).astype(_dtype(c))
+            # tag the only (B, h, L, L) residuals so remat="attn" can drop
+            # exactly these from the saved set (recomputed in bwd from the
+            # saved q/k: one einsum + softmax, ~2% of the step's FLOPs,
+            # saves ~2.9 GB/step of HBM residual write+read at the
+            # reference operating point)
+            logits = checkpoint_name(logits, "attn_inter")
+            probs = checkpoint_name(
+                jax.nn.softmax(logits, axis=-1).astype(_dtype(c)), "attn_inter"
+            )
             if c.attention_dropout_site == "probs":
                 probs = _dropout(c, c.attention_dropout)(probs, deterministic=deterministic)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(*x.shape[:2], h)
@@ -254,6 +263,10 @@ class BertEncoder(nn.Module):
             policy = {
                 "dots": jax.checkpoint_policies.checkpoint_dots,
                 "full": jax.checkpoint_policies.nothing_saveable,
+                # "attn": save every intermediate EXCEPT the (B, h, L, L)
+                # attention logits/probs (tagged above) — the cheapest
+                # FLOPs-for-HBM trade in the layer
+                "attn": jax.checkpoint_policies.save_any_names_but_these("attn_inter"),
             }[c.remat]
             layer_cls = nn.remat(BertLayer, policy=policy, static_argnums=(4,))
         for i in range(c.num_layers):

@@ -219,6 +219,16 @@ def main():
         # embedding-grad scatter -> dense one-hot matmul
         ("sm16+onehot", dataclasses.replace(sm16, embedding_impl="onehot"),
          "threefry2x32", False, "step"),
+        # remat policies: "attn" drops only the (B,h,L,L) logits/probs
+        # residuals (recomputed in bwd, ~2% extra FLOPs, ~2.9 GB/step less
+        # HBM residual traffic); dots/full are the memory-pressure options
+        ("sm16+remat-attn", dataclasses.replace(sm16, remat="attn"),
+         "threefry2x32", False, "step"),
+        ("sm16+remat-dots", dataclasses.replace(sm16, remat="dots"),
+         "threefry2x32", False, "step"),
+        ("remat-attn+nodrop",
+         dataclasses.replace(mc, attention_softmax_dtype="compute", remat="attn"),
+         "threefry2x32", True, "step"),
     ]
     if args.variants:
         names = set(args.variants.split(","))

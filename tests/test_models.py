@@ -204,3 +204,28 @@ def test_compute_softmax_close_to_fp32(colbert_and_params):
     # fp32 compute dtype here, so the only difference is the einsum
     # preferred_element_type — results must agree tightly
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_remat_attn_gradients_exact(colbert_and_params):
+    """remat='attn' (drop only the tagged (B,h,L,L) logits/probs residuals)
+    must be a pure scheduling change: gradients identical to no-remat."""
+    import dataclasses
+
+    model, params = colbert_and_params
+    rm = ColbertModel(
+        dataclasses.replace(TINY, remat="attn"),
+        MultiviewConfig(enabled=True, q_view=4, d_view=6),
+    )
+    ids = jnp.arange(32, dtype=jnp.int32).reshape(2, 16) % 128
+    mask = jnp.ones((2, 16), jnp.int32)
+
+    def loss_with(m):
+        def loss(p):
+            return m.apply({"params": p}, ids, mask, method=m.query).sum()
+
+        return jax.grad(loss)(params)
+
+    g0 = loss_with(model)
+    g1 = loss_with(rm)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
