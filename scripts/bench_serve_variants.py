@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--docs", type=int, default=20000)
     ap.add_argument("--iters", type=int, default=9)
     ap.add_argument("--batch", type=int, default=144)
+    ap.add_argument("--only", default="",
+                    help="substring filter on variant names (comma-separated)")
     args = ap.parse_args()
 
     import sys
@@ -85,7 +87,18 @@ def main():
         ("batched r8, int8, qc16", dict(probe_impl="batched", probe_list_topr=8, rerank_dtype="int8"), dict(query_chunk=16)),
         ("batched r8, int8, qc16, cand2048", dict(probe_impl="batched", probe_list_topr=8, rerank_dtype="int8", max_candidates=2048), dict(query_chunk=16)),
         ("token, int8, qc16", dict(probe_impl="token", rerank_dtype="int8"), dict(query_chunk=16)),
+        # round-3 headline candidates: int8 table halves rerank HBM traffic
+        # (the batch's largest device stage, ~51 ms bf16 at cand 4096);
+        # trimming the candidate budget cuts it further if recall holds
+        ("hl: batched r8, bf16, qc8, cand4096", dict(probe_impl="batched", probe_list_topr=8), dict(query_chunk=8)),
+        ("hl: batched r8, int8, qc8, cand4096", dict(probe_impl="batched", probe_list_topr=8, rerank_dtype="int8"), dict(query_chunk=8)),
+        ("hl: batched r8, int8, qc8, cand3072", dict(probe_impl="batched", probe_list_topr=8, rerank_dtype="int8", max_candidates=3072), dict(query_chunk=8)),
+        ("hl: batched r8, int8, qc8, cand2048", dict(probe_impl="batched", probe_list_topr=8, rerank_dtype="int8", max_candidates=2048), dict(query_chunk=8)),
+        ("hl: batched r8, int8, qc16, cand3072", dict(probe_impl="batched", probe_list_topr=8, rerank_dtype="int8", max_candidates=3072), dict(query_chunk=16)),
     ]
+    if args.only:
+        keys = args.only.split(",")
+        variants = [v for v in variants if any(k in v[0] for k in keys)]
 
     oracle = None
     results = []
@@ -104,16 +117,24 @@ def main():
                 res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
                 times.append(time.perf_counter() - t0)
             dt = float(np.median(times))
+            # pipelined: enqueue all batches, pull at the end (serving mode)
+            t0 = time.perf_counter()
+            handles = [searcher.search_tokens_device(q_ids, q_attn, q_active, **kw)
+                       for _ in range(args.iters)]
+            for ts, tp in handles:
+                np.asarray(ts), np.asarray(tp)
+            pipe = (time.perf_counter() - t0) / args.iters
             rec = float(np.mean([
                 len(set(res.pids[i]) & set(oracle[i])) / topk for i in range(args.batch)
             ])) if oracle is not None else float("nan")
-            results.append((name, dt * 1e3, args.batch / dt, rec))
-            print(f"{name:45s} {dt*1e3:7.1f} ms  {args.batch/dt:7.1f} QPS  recall@{topk} {rec:.3f}", flush=True)
+            results.append((name, dt * 1e3, args.batch / pipe, rec))
+            print(f"{name:45s} {dt*1e3:7.1f} ms  {args.batch/dt:7.1f} QPS seq  "
+                  f"{args.batch/pipe:7.1f} QPS pipe  recall@{topk} {rec:.3f}", flush=True)
             del searcher
         except Exception as e:
             print(f"{name:45s} FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
 
-    print("\nsummary:")
+    print("\nsummary (QPS = pipelined):")
     for name, ms, qps, rec in results:
         print(f"  {name:45s} {ms:7.1f} ms {qps:7.1f} QPS recall {rec:.3f}")
 
