@@ -208,9 +208,17 @@ def main():
     class _Tok:  # search_tokens path; no text tokenizer needed
         pass
 
+    import dataclasses
+
+    cfg_flat = dataclasses.replace(
+        cfg_sq, serve=dataclasses.replace(cfg_sq.serve, mode="flat")
+    )
+
     results = {}
     searchers = {}
-    for codec, cfg in (("sq", cfg_sq), ("pq4", cfg_pq4), ("pq", cfg_pq)):
+    # "flat" = exact brute-force MXU scan (ops/flat_scan.py): recall 1.0 by
+    # construction; reuses the sq storage (reads only parts + doclens)
+    for codec, cfg in (("sq", cfg_sq), ("flat", cfg_flat), ("pq4", cfg_pq4), ("pq", cfg_pq)):
         storage = build_synthetic_index(embs, num_docs, d_view, dim, cfg)
         searchers[codec] = ColbertSearcher(cfg, _Tok(), params, storage, mesh=mesh)
         dt, dt_pipe, res = bench_searcher(searchers[codec], q_ids, q_attn, q_active, topk, nprobe, depth, n_warm, n_iter)

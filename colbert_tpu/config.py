@@ -259,6 +259,16 @@ class IndexConfig:
 class ServeConfig:
     """Serving operating point (reference: ``dense_server_client.py:81,111``)."""
 
+    # retrieval mode: "ann" (IVF probe -> candidate funnel -> exact rerank)
+    # or "flat" (exact brute-force MaxSim over the whole doc-major table on
+    # the MXU, ops/flat_scan.py — recall 1.0 by construction; measured
+    # FASTER than the ANN funnel wherever the table is HBM-resident, because
+    # the funnel's residual cost is gather overhead ~86 ns/row while the MXU
+    # scores the entire corpus in one streaming pass).  "flat" needs no IVF
+    # index at all: it serves straight from the encoded parts.
+    mode: str = "ann"
+    # flat mode: docs per top-k segment (bounds the transposed transient)
+    flat_segment_docs: int = 1 << 17
     nprobe: int = 128
     candidate_depth: int = 512        # a.k.a. faiss_depth
     topk: int = 100
@@ -381,6 +391,10 @@ class ColbertConfig:
         if self.serve.rerank_table not in ("hbm", "host"):
             raise ValueError(
                 f"serve.rerank_table must be 'hbm' or 'host', got {self.serve.rerank_table!r}"
+            )
+        if self.serve.mode not in ("ann", "flat"):
+            raise ValueError(
+                f"serve.mode must be 'ann' or 'flat', got {self.serve.mode!r}"
             )
 
     # ---- (de)serialization ----

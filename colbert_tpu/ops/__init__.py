@@ -10,6 +10,12 @@ from colbert_tpu.ops.ivf import (
     dedup_pids_by_score,
     dedup_pids_by_approx_maxsim,
 )
+from colbert_tpu.ops.flat_scan import (
+    build_flat_table,
+    flat_maxsim_scan,
+    flat_maxsim_scan_xla,
+    flat_topk,
+)
 from colbert_tpu.ops.topk import topk, topk_merge_gathered
 from colbert_tpu.ops.pooling import batch_index_select, span_mean, max_pool_by_mask, avg_pool_by_mask
 
@@ -20,6 +26,7 @@ __all__ = [
     "sq_train", "sq_encode", "sq_query", "sq_score",
     "ivf_probe_adc", "ivf_probe_sq", "ivf_probe_sq_batched", "sort_by_list",
     "dedup_pids_by_score", "dedup_pids_by_approx_maxsim",
+    "build_flat_table", "flat_maxsim_scan", "flat_maxsim_scan_xla", "flat_topk",
     "topk", "topk_merge_gathered",
     "batch_index_select", "span_mean", "max_pool_by_mask", "avg_pool_by_mask",
 ]

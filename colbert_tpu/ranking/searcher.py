@@ -357,9 +357,43 @@ class ColbertSearcher:
             }[cfg.serve.rerank_dtype]
 
         meta = storage.read_meta()
-        ivf = storage.read_ivf()
         doclens = np.asarray(storage.read_doclens(), np.int32)
         self.num_docs = len(doclens)
+        self.flat_dv = None
+
+        if cfg.serve.mode == "flat":
+            # exact brute-force serving (ops/flat_scan.py): no IVF index is
+            # read or required — the doc-major table IS the index.  Recall
+            # 1.0 by construction; the TPU-native observation is that the
+            # MXU scores the whole corpus faster than the candidate funnel
+            # can gather a few thousand docs (see BENCHLOG round 3).
+            from colbert_tpu.ops.flat_scan import build_flat_table
+
+            emb_np = storage.load_all_embeddings()
+            self.dim = int(meta["dim"])
+            dv = (
+                _meta_d_view(meta, cfg)
+                if meta.get("multiview", True)
+                else (int(doclens.max()) if len(doclens) else 1)
+            )
+            dtype = "int8" if cfg.serve.rerank_dtype == "int8" else "bfloat16"
+            table, inv, dv = build_flat_table(emb_np, doclens, dv=dv, dtype=dtype)
+            self.flat_dv = dv
+            self.packed_int8 = dtype == "int8"
+            self.emb_table = jnp.asarray(
+                table, jnp.int8 if dtype == "int8" else jnp.bfloat16
+            )
+            self.emb_inv_scale = (
+                jnp.asarray(inv, jnp.float32) if inv is not None else None
+            )
+            self.doclens = jnp.asarray(doclens, jnp.int32)
+            self.uniform_doclen = bool(len(doclens) and (doclens == dv).all())
+            self.host_table = None
+            self.ragged_strides = None
+            self._search_fns = {}
+            return
+
+        ivf = storage.read_ivf()
 
         # device-resident index state
         self.codec = meta.get("codec", "pq" if "codebooks" in ivf else "sq")
@@ -498,6 +532,34 @@ class ColbertSearcher:
 
     # ---- jitted pipeline ----
 
+    def _make_flat_fn(self, topk: int):
+        """Exact serving: encode -> stream-scan the whole table -> top-k."""
+        from colbert_tpu.ops.flat_scan import flat_maxsim_scan, flat_topk
+
+        model = self.model
+        dv = self.flat_dv
+        num_docs = self.num_docs
+        segment = self.cfg.serve.flat_segment_docs
+
+        def fn(params, table, inv, q_ids, q_attn, q_active):
+            Q = model.apply({"params": params}, q_ids, q_attn, method=model.query)
+            Qm = Q * q_active.astype(Q.dtype)[..., None]
+            if inv is not None:
+                Qm = Qm * inv
+            scores = flat_maxsim_scan(Qm.astype(jnp.float32), table, dv=dv)
+            return flat_topk(scores, num_docs, topk, segment=segment)
+
+        return jax.jit(fn)
+
+    def _search_tokens_flat(self, q_ids, q_attn, q_active, topk: int):
+        key = ("flat", topk)
+        if key not in self._search_fns:
+            self._search_fns[key] = self._make_flat_fn(topk)
+        return self._search_fns[key](
+            self.params, self.emb_table, self.emb_inv_scale,
+            jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active),
+        )
+
     def _make_search_fn(self, topk: int, nprobe: int, depth: int, cap: int, max_cand: int,
                         query_chunk: int, stop_stage: Optional[str] = None):
         model = self.model
@@ -586,6 +648,10 @@ class ColbertSearcher:
         """Search from pre-tokenized queries (the fused device pipeline)."""
         s = self.cfg.serve
         topk = topk or s.topk
+        if self.flat_dv is not None:
+            with self.timers.span("search"):
+                ts, tp = self._search_tokens_flat(q_ids, q_attn, q_active, topk)
+            return SearchResult(np.asarray(tp), np.asarray(ts))
         nprobe = min(nprobe or s.nprobe, int(self.coarse.shape[0]))
         depth = depth or s.candidate_depth
         cap = self.max_list_len
@@ -675,6 +741,10 @@ class ColbertSearcher:
         dispatch/transfer latency with device execution (the reference's
         serving loop is fully synchronous per batch,
         ``dense_server_client.py:39-49``)."""
+        if self.flat_dv is not None:
+            return self._search_tokens_flat(
+                q_ids, q_attn, q_active, topk or self.cfg.serve.topk
+            )
         if self.host_table is not None:
             raise ValueError(
                 "search_tokens_device is the device-resident async path; "
@@ -705,6 +775,20 @@ class ColbertSearcher:
         )
         Qm = Q * jnp.asarray(enc.active_mask, Q.dtype)[..., None]
         B = Q.shape[0]
+        if self.flat_dv is not None:
+            # independent oracle for the flat path: fp32 XLA all-pairs
+            cap = self.flat_dv
+            D = self.emb_table[: self.num_docs * cap].reshape(
+                self.num_docs, cap, -1
+            ).astype(jnp.float32)
+            if self.emb_inv_scale is not None:
+                D = D * self.emb_inv_scale
+            from colbert_tpu.ops.maxsim import maxsim_xla
+
+            scores = maxsim_xla(Qm.astype(jnp.float32), D)
+            k = min(topk, self.num_docs)
+            ts, tp = jax.lax.top_k(scores, k)
+            return SearchResult(np.asarray(tp, np.int32), np.asarray(ts))
         cap = self.rerank_cap
         valid = jnp.arange(cap)[None, :] < self.doclens[:, None]
         if self.host_table is not None:

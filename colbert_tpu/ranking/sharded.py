@@ -120,6 +120,10 @@ class ShardedColbertSearcher:
             }[cfg.serve.rerank_dtype]
 
         meta = storage.read_meta()
+        self.flat_dv = None
+        if cfg.serve.mode == "flat":
+            self._init_flat(storage, meta, rerank_dtype)
+            return
         ivf = storage.read_ivf()
         if meta.get("codec") == "pq4":
             raise ValueError(
@@ -189,6 +193,109 @@ class ShardedColbertSearcher:
         # shard padding keeps the doc-major layout intact — padded docs have
         # len 0 and probe rows in padding map to pid -1)
         self._fns: Dict[Tuple, Any] = {}
+
+    def _init_flat(self, storage: IndexStorage, meta: Dict, rerank_dtype) -> None:
+        """Corpus-sharded exact serving: each shard owns a contiguous
+        doc-major flat table slice; per-shard streaming MaxSim scan + local
+        top-k, merged with one ICI all-gather.  No IVF index is read."""
+        from colbert_tpu.ops.flat_scan import build_flat_table, pick_rows_block
+        from colbert_tpu.ranking.searcher import _meta_d_view
+
+        cfg = self.cfg
+        dl_all = np.asarray(storage.read_doclens(), np.int64)
+        self.num_docs = len(dl_all)
+        dim = int(meta["dim"])
+        dv = (
+            _meta_d_view(meta, cfg)
+            if meta.get("multiview", True)
+            else (int(dl_all.max()) if len(dl_all) else 1)
+        )
+        self.flat_dv = dv
+        self.packed_int8 = rerank_dtype == jnp.int8
+        self.uniform_doclen = bool(len(dl_all) and (dl_all == dv).all())
+
+        emb_all = storage.load_all_embeddings()
+        if self.packed_int8:
+            # ONE global scale: scores merge across shards in the all-gather
+            from colbert_tpu.ops.rerank_pallas import quantize_emb_table
+
+            src, scale = quantize_emb_table(emb_all)
+            self.emb_inv_scale = jnp.asarray(1.0 / scale, jnp.float32)
+            dev_dtype = jnp.int8
+        else:
+            src = np.asarray(emb_all, np.float32)
+            self.emb_inv_scale = None
+            dev_dtype = jnp.bfloat16
+
+        doc_off = IndexStorage.doc_offsets_from_doclens(dl_all.tolist())
+        bounds = [
+            local_shard_bounds(self.num_docs, s, self.n_shards)
+            for s in range(self.n_shards)
+        ]
+        tables, n_local = [], []
+        for lo, hi in bounds:
+            e_lo, e_hi = int(doc_off[lo]), int(doc_off[hi])
+            t, _, _ = build_flat_table(
+                src[e_lo:e_hi], dl_all[lo:hi], dv=dv, dtype="raw"
+            )
+            tables.append(t)
+            n_local.append(hi - lo)
+        rb = pick_rows_block(dv, 1 if self.packed_int8 else 2)
+        max_rows = -(-max(t.shape[0] for t in tables) // rb) * rb
+        stacked = np.stack([_pad_rows(t, max_rows) for t in tables])
+        shard0 = NamedSharding(self.mesh, P(AXES.data))
+        self.arrays = {
+            "emb_table": jax.device_put(jnp.asarray(stacked, dev_dtype), shard0),
+            "pid_base": jax.device_put(
+                jnp.asarray([[lo] for lo, _ in bounds], jnp.int32), shard0
+            ),
+            "n_local": jax.device_put(
+                jnp.asarray([[n] for n in n_local], jnp.int32), shard0
+            ),
+        }
+        self._fns: Dict[Tuple, Any] = {}
+
+    def _make_flat_fn(self, topk: int):
+        from colbert_tpu.ops.flat_scan import flat_maxsim_scan, flat_topk
+
+        model = self.model
+        mesh = self.mesh
+        dv = self.flat_dv
+        segment = self.cfg.serve.flat_segment_docs
+
+        def local(emb_table, pid_base, n_local, Qm, inv):
+            table = emb_table[0]
+            if inv.shape[0] == table.shape[1]:
+                Qm = Qm * inv
+            scores = flat_maxsim_scan(Qm.astype(jnp.float32), table, dv=dv)
+            docs_pad = scores.shape[0]
+            valid = jnp.arange(docs_pad) < n_local[0, 0]
+            scores = jnp.where(valid[:, None], scores, -jnp.inf)
+            ts, ti = flat_topk(scores, docs_pad, min(topk, docs_pad), segment=segment)
+            tp = jnp.where(jnp.isfinite(ts), ti + pid_base[0, 0], -1)
+            all_ts = jax.lax.all_gather(ts, AXES.data, axis=-1, tiled=True)
+            all_tp = jax.lax.all_gather(tp, AXES.data, axis=-1, tiled=True)
+            s, i = jax.lax.top_k(all_ts, min(topk, all_ts.shape[-1]))
+            return s, jnp.take_along_axis(all_tp, i, axis=-1)
+
+        data = AXES.data
+        sharded = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(data), P(data), P(data), P(), P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+
+        def fn(params, arrays, q_inputs, inv):
+            q_ids, q_attn, q_active = q_inputs
+            Q = model.apply({"params": params}, q_ids, q_attn, method=model.query)
+            Qm = Q * q_active.astype(Q.dtype)[..., None]
+            return sharded(
+                arrays["emb_table"], arrays["pid_base"], arrays["n_local"], Qm, inv
+            )
+
+        return jax.jit(fn)
 
     def _make_fn(self, topk, nprobe, depth, cap, max_cand, query_chunk):
         model = self.model
@@ -270,6 +377,21 @@ class ShardedColbertSearcher:
     def search_tokens(self, q_ids, q_attn, q_active, topk=None, nprobe=None, depth=None, query_chunk: int = 8) -> SearchResult:
         s = self.cfg.serve
         topk = topk or s.topk
+        if self.flat_dv is not None:
+            key = ("flat", topk)
+            if key not in self._fns:
+                self._fns[key] = self._make_flat_fn(topk)
+            inv = (
+                self.emb_inv_scale
+                if self.emb_inv_scale is not None
+                else jnp.ones((1,), jnp.float32)
+            )
+            ts, tp = self._fns[key](
+                self.params, self.arrays,
+                (jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active)),
+                inv,
+            )
+            return SearchResult(np.asarray(tp), np.asarray(ts))
         nprobe = min(nprobe or s.nprobe, int(self.coarse.shape[0]))
         depth = depth or s.candidate_depth
         cap = self.max_list_len

@@ -95,6 +95,11 @@ def main():
         ("hl: batched r8, int8, qc8, cand3072", dict(probe_impl="batched", probe_list_topr=8, rerank_dtype="int8", max_candidates=3072), dict(query_chunk=8)),
         ("hl: batched r8, int8, qc8, cand2048", dict(probe_impl="batched", probe_list_topr=8, rerank_dtype="int8", max_candidates=2048), dict(query_chunk=8)),
         ("hl: batched r8, int8, qc16, cand3072", dict(probe_impl="batched", probe_list_topr=8, rerank_dtype="int8", max_candidates=3072), dict(query_chunk=16)),
+        # round-3: exact FLAT serving (ops/flat_scan.py) — no IVF probe, no
+        # candidate funnel: one streaming MXU scan of the whole table.
+        # recall vs oracle should be ~1.0 by construction.
+        ("flat exact, bf16", dict(mode="flat"), dict()),
+        ("flat exact, int8", dict(mode="flat", rerank_dtype="int8"), dict()),
     ]
     if args.only:
         keys = args.only.split(",")
