@@ -53,7 +53,10 @@ def make_synthetic_embeddings(num_docs, d_view, dim, seed=0):
     return embs
 
 
-def build_synthetic_index(embs, num_docs, d_view, dim, cfg, cache: bool = True):
+def build_synthetic_index(embs, num_docs, d_view, dim, cfg, cache: bool = True,
+                          ivf: bool = True):
+    """``ivf=False`` writes parts+meta only — enough for serve.mode='flat',
+    which reads no IVF index (and skips the minutes-long k-means at scale)."""
     import os
 
     from colbert_tpu.indexing import IndexBuilder, IndexStorage
@@ -61,10 +64,12 @@ def build_synthetic_index(embs, num_docs, d_view, dim, cfg, cache: bool = True):
     # persistent build cache: k-means++ seeding alone is minutes at K=4096,
     # and the synthetic corpus is deterministic per (codec, size, balance)
     tag = (f"{cfg.index.codec}_{num_docs}x{d_view}x{dim}_p{cfg.index.partitions}"
-           f"_b{cfg.index.balance_factor}_sq{cfg.index.sq_dim}_m{cfg.index.pq_m}")
+           f"_b{cfg.index.balance_factor}_sq{cfg.index.sq_dim}_m{cfg.index.pq_m}"
+           + ("" if ivf else "_noivf"))
     path = f"/tmp/colbert_bench_idx_{tag}"
     storage = IndexStorage(path)
-    if cache and os.path.exists(os.path.join(path, "ivf", "offsets.npy")):
+    done_marker = os.path.join(path, "ivf", "offsets.npy") if ivf else os.path.join(path, "meta.json")
+    if cache and os.path.exists(done_marker):
         return storage
     parts = 4
     per = num_docs // parts
@@ -75,7 +80,8 @@ def build_synthetic_index(embs, num_docs, d_view, dim, cfg, cache: bool = True):
         {"dim": dim, "num_docs": num_docs, "num_embeddings": num_docs * d_view,
          "multiview": True, "d_view": d_view, "num_parts": parts, "embedding_dtype": "float16"}
     )
-    IndexBuilder(cfg, storage).build(chunk=1 << 14)
+    if ivf:
+        IndexBuilder(cfg, storage).build(chunk=1 << 14)
     return storage
 
 

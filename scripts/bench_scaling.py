@@ -34,11 +34,25 @@ def oracle_topk(searcher, model, params, q_ids, q_attn, q_active, topk):
 
     Q = model.apply({"params": params}, jnp.asarray(q_ids), jnp.asarray(q_attn), method=model.query)
     Qm = (Q * jnp.asarray(q_active, Q.dtype)[..., None]).astype(jnp.bfloat16)
-    nd, cap = searcher.num_docs, searcher.rerank_cap
+    flat = getattr(searcher, "flat_dv", None) is not None
+    nd = searcher.num_docs
+    cap = searcher.flat_dv if flat else searcher.rerank_cap
     dim = searcher.dim
     chunk = max(1, min(nd, (1 << 29) // (cap * dim * 4)))
-    nk = searcher.nk
-    if searcher.packed_int8:
+    nk = getattr(searcher, "nk", 0)
+    if flat:
+        inv = searcher.emb_inv_scale
+        inv = inv.astype(jnp.bfloat16) if inv is not None else None
+
+        @jax.jit
+        def sc(q, rows):
+            D = rows.reshape(-1, cap, dim).astype(jnp.bfloat16)
+            if inv is not None:
+                D = D * inv
+            return maxsim_xla(q, D)
+
+        rows_per_doc = cap
+    elif searcher.packed_int8:
         inv = searcher.emb_inv_scale.astype(jnp.bfloat16)
 
         @jax.jit
@@ -89,6 +103,9 @@ def main():
                          "1<<round(log2(8*sqrt(N))) (faiss_indexers.py:279-286)")
     ap.add_argument("--codec", default="sq", choices=("sq", "pq4", "pq"),
                     help="index codec (pq4 for the DESIGN crossover table)")
+    ap.add_argument("--mode", default="ann", choices=("ann", "flat"),
+                    help="flat = exact brute-force MXU scan (no IVF build at "
+                         "all; recall 1.0 by construction)")
     ap.add_argument("--sweep", default="",
                     help="serve-knob sweep on ONE index + oracle per size: "
                          "comma-separated nprobe:depth:topr:maxcand combos, "
@@ -140,7 +157,8 @@ def main():
                                   kmeans_iters=10, pq_kmeans_iters=10,
                                   balance_factor=args.balance_factor,
                                   partitions=args.partitions),
-                serve=ServeConfig(nprobe=np_, candidate_depth=dp_, topk=topk,
+                serve=ServeConfig(mode=args.mode,
+                                  nprobe=np_, candidate_depth=dp_, topk=topk,
                                   max_candidates=mc_, rerank_dtype=args.rerank_dtype,
                                   probe_list_topr=r_),
                 mesh=MeshConfig(data=-1, model=1),
@@ -149,18 +167,23 @@ def main():
         cfg = cfg_for(*combos[0])
         t0 = time.time()
         embs = make_synthetic_embeddings(num_docs, d_view, dim)
-        storage = build_synthetic_index(embs, num_docs, d_view, dim, cfg)
+        storage = build_synthetic_index(embs, num_docs, d_view, dim, cfg,
+                                        ivf=(args.mode != "flat"))
         print(f"[{num_docs}] index ready in {time.time()-t0:.0f}s", flush=True)
         del embs
-        ivf = storage.read_ivf()
-        lens = ivf["offsets"][1:] - ivf["offsets"][:-1]
-        bytes_codes = int(ivf["codes"].nbytes)
-        del ivf
+        if args.mode == "flat":
+            lens = np.zeros(1, np.int64)
+            bytes_codes = 0
+        else:
+            ivf = storage.read_ivf()
+            lens = ivf["offsets"][1:] - ivf["offsets"][:-1]
+            bytes_codes = int(ivf["codes"].nbytes)
+            del ivf
 
         oracle = None
         for np_, dp_, r_, mc_ in combos:
             searcher = ColbertSearcher(cfg_for(np_, dp_, r_, mc_), _Tok(), params, storage, mesh=mesh)
-            bytes_table = int(np.asarray(searcher.emb_table).nbytes)
+            bytes_table = int(searcher.emb_table.nbytes)  # no host transfer
             kw = dict(topk=topk, nprobe=np_, depth=dp_, query_chunk=8)
             res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)  # compile
             res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
@@ -185,7 +208,8 @@ def main():
                 ]))
             row = {
                 "docs": num_docs, "vectors": num_docs * d_view,
-                "knobs": f"nprobe{np_} d{dp_} r{r_} c{mc_}",
+                "knobs": (f"flat exact {args.rerank_dtype}" if args.mode == "flat"
+                          else f"nprobe{np_} d{dp_} r{r_} c{mc_}"),
                 "p50_ms": round(float(np.median(lat)) * 1e3, 1),
                 "qps_seq": round(args.batch / float(np.median(lat)), 1),
                 "qps_pipelined": round(args.batch / pipe, 1),
