@@ -100,7 +100,9 @@ def flat_maxsim_scan(
     if h_t != h:
         raise ValueError(f"table dim {h_t} != query dim {h}")
     if rows_blk == 0:
-        rows_blk = pick_rows_block(dv, table.dtype.itemsize)
+        rows_blk = pick_rows_block(
+            dv, table.dtype.itemsize, target_rows=min(1024, n_rows)
+        )
     if rows_blk % dv:
         raise ValueError(f"rows_blk {rows_blk} must be a multiple of dv {dv}")
     docs_blk = rows_blk // dv
