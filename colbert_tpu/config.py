@@ -269,6 +269,9 @@ class ServeConfig:
     mode: str = "ann"
     # flat mode: docs per top-k segment (bounds the transposed transient)
     flat_segment_docs: int = 1 << 17
+    # flat mode: rows per kernel grid step (0 = auto ~1024); must divide the
+    # padded table and hold whole docs.  Exposed for block-size sweeps.
+    flat_rows_block: int = 0
     nprobe: int = 128
     candidate_depth: int = 512        # a.k.a. faiss_depth
     topk: int = 100

@@ -103,6 +103,12 @@ def flat_maxsim_scan(
         rows_blk = pick_rows_block(
             dv, table.dtype.itemsize, target_rows=min(1024, n_rows)
         )
+        if n_rows % rows_blk:
+            # legal fallback: the minimal unit always divides tables built
+            # by build_flat_table with the same (dv, dtype)
+            unit = pick_rows_block(dv, table.dtype.itemsize, target_rows=1)
+            if n_rows % unit == 0:
+                rows_blk = unit
     if rows_blk % dv:
         raise ValueError(f"rows_blk {rows_blk} must be a multiple of dv {dv}")
     docs_blk = rows_blk // dv

@@ -377,7 +377,10 @@ class ColbertSearcher:
                 else (int(doclens.max()) if len(doclens) else 1)
             )
             dtype = "int8" if cfg.serve.rerank_dtype == "int8" else "bfloat16"
-            table, inv, dv = build_flat_table(emb_np, doclens, dv=dv, dtype=dtype)
+            table, inv, dv = build_flat_table(
+                emb_np, doclens, dv=dv, dtype=dtype,
+                rows_blk=cfg.serve.flat_rows_block or None,
+            )
             self.flat_dv = dv
             self.packed_int8 = dtype == "int8"
             self.emb_table = jnp.asarray(
@@ -540,13 +543,16 @@ class ColbertSearcher:
         dv = self.flat_dv
         num_docs = self.num_docs
         segment = self.cfg.serve.flat_segment_docs
+        rows_blk = self.cfg.serve.flat_rows_block
 
         def fn(params, table, inv, q_ids, q_attn, q_active):
             Q = model.apply({"params": params}, q_ids, q_attn, method=model.query)
             Qm = Q * q_active.astype(Q.dtype)[..., None]
             if inv is not None:
                 Qm = Qm * inv
-            scores = flat_maxsim_scan(Qm.astype(jnp.float32), table, dv=dv)
+            scores = flat_maxsim_scan(
+                Qm.astype(jnp.float32), table, dv=dv, rows_blk=rows_blk
+            )
             return flat_topk(scores, num_docs, topk, segment=segment)
 
         return jax.jit(fn)

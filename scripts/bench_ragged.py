@@ -191,6 +191,10 @@ def main():
         ("ragged xla gather (slow path)", dict(rerank_kernel="xla", rerank_dtype="bfloat16")),
         ("ragged stride-bucket pallas bf16", dict(rerank_kernel=kernel, rerank_dtype="bfloat16")),
         ("ragged stride-bucket pallas int8", dict(rerank_kernel=kernel, rerank_dtype="int8")),
+        # exact flat scan on the zero-padded doc-major table (dv = max
+        # doclen): pays ~dv/mean_len extra scan FLOPs for recall 1.0
+        ("ragged flat exact bf16", dict(mode="flat")),
+        ("ragged flat exact int8", dict(mode="flat", rerank_dtype="int8")),
     ]
     rows = []
     for name, serve_kw in variants:

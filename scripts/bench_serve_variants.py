@@ -100,6 +100,9 @@ def main():
         # recall vs oracle should be ~1.0 by construction.
         ("flat exact, bf16", dict(mode="flat"), dict()),
         ("flat exact, int8", dict(mode="flat", rerank_dtype="int8"), dict()),
+        ("flat exact, bf16, blk2048", dict(mode="flat", flat_rows_block=2048), dict()),
+        ("flat exact, bf16, blk4096", dict(mode="flat", flat_rows_block=4096), dict()),
+        ("flat exact, bf16, blk512", dict(mode="flat", flat_rows_block=512), dict()),
     ]
     if args.only:
         keys = args.only.split(",")
