@@ -130,7 +130,8 @@ def exact_oracle_topk(searcher, q_ids, q_attn, q_active, topk):
     Qm = Q * jnp.asarray(q_active, Q.dtype)[..., None]
     cap = searcher.rerank_cap
     nd = searcher.num_docs
-    D = searcher.emb_table.reshape(nd, cap, -1)  # multiview: uniform doclens
+    # slice before reshape: flat-mode tables are padded past num_docs
+    D = searcher.emb_table[: nd * cap].reshape(nd, cap, -1)
     scores = maxsim_xla(Qm.astype(jnp.float32), D.astype(jnp.float32))
     _, tp = jax.lax.top_k(scores, topk)
     return np.asarray(tp)

@@ -129,6 +129,12 @@ def cmd_train_ce(args) -> None:
         from colbert_tpu.models.convert import ce_params_from_torch
 
         init_params = ce_params_from_torch(args.pretrain, cfg.ce_model)
+    elif cfg.ce_train.init_from_retriever:
+        # no-pretraining analogue of the reference's macbert backbone: graft
+        # the trained bi-encoder's BERT into the CE (heads stay fresh)
+        retr = _retriever_params(cfg, tok, None, None)
+        init_params = {"bert": retr["bert"]}
+        logger.info("CE warm start: bert encoder from the latest retriever checkpoint")
     trainer = CETrainer(cfg, tok, init_params=init_params)
     train_ds = RetrievalDataset.from_json(args.train_data)
     dev_ds = RetrievalDataset.from_json(args.dev_data) if args.dev_data else None

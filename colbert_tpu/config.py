@@ -211,6 +211,14 @@ class CETrainConfig:
     keep_checkpoints: int = 20
     log_every: int = 50
     checkpoint_dir: str = "checkpoints/ce"
+    # warm-start the CE's BERT encoder from the trained retriever's latest
+    # checkpoint (train.checkpoint_dir).  The reference's CE rides a
+    # PRETRAINED backbone (macbert, dense.yaml:40); a from-scratch CE is
+    # data-starved on retrieval-sized training sets (measured: near-random
+    # top-100 rerank after 5 epochs on pydocs).  Transfer from the
+    # bi-encoder's backbone is the no-pretraining analogue — requires
+    # ce_model and model to share the BERT shape.
+    init_from_retriever: bool = False
 
 
 @dataclass

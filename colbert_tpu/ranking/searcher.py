@@ -382,6 +382,7 @@ class ColbertSearcher:
                 rows_blk=cfg.serve.flat_rows_block or None,
             )
             self.flat_dv = dv
+            self.rerank_cap = dv  # rows/doc, for oracle and introspection
             self.packed_int8 = dtype == "int8"
             self.emb_table = jnp.asarray(
                 table, jnp.int8 if dtype == "int8" else jnp.bfloat16

@@ -70,6 +70,9 @@ def write_config(workdir: str, on_tpu: bool, mined: bool) -> str:
         "ce_train": {"learning_rate": 3e-4, "per_device_batch_size": 16 if on_tpu else 2,
                      "num_epochs": 5 if on_tpu else 1, "neg_num": 4,
                      "evals_per_epoch": 1, "eval_topk": 100,
+                     # from-scratch CE is data-starved (measured near-random
+                     # top-100 rerank); warm-start from the trained retriever
+                     "init_from_retriever": True,
                      "checkpoint_dir": os.path.join(workdir, "ckpt_ce"),
                      "keep_checkpoints": 3, "log_every": 100},
         "index": {"codec": "sq", "sq_dim": 64, "kmeans_iters": 10,
@@ -104,6 +107,8 @@ def main():
     ap.add_argument("--max-entries", type=int, default=20000)
     ap.add_argument("--stage", default="data", choices=STAGES)
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--ce-epochs", type=int, default=None)
+    ap.add_argument("--ce-lr", type=float, default=None)
     ap.add_argument("--stop-after", default=None, choices=STAGES)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (validation; the image pins "
@@ -179,7 +184,13 @@ def main():
 
     def train_ce():
         filter_positives(mined_json, ce_json)
-        cli(["train-ce", "--config", conf2, "--train-data", ce_json, "--dev-data", dev_json])
+        ce_sets = []
+        if args.ce_epochs:
+            ce_sets += ["--set", f"ce_train.num_epochs={args.ce_epochs}"]
+        if args.ce_lr:
+            ce_sets += ["--set", f"ce_train.learning_rate={args.ce_lr}"]
+        cli(["train-ce", "--config", conf2, "--train-data", ce_json,
+             "--dev-data", dev_json] + ce_sets)
     run("train_ce", train_ce)
 
     run("eval_ce", lambda: (

@@ -158,6 +158,33 @@ def test_ce_train_smoke(tiny_cfg, tokenizer, mesh8):
     assert len(order) == 3
 
 
+def test_ce_warm_start_from_retriever(tiny_cfg, tokenizer, mesh8):
+    """init_params={'bert': ...} grafts the retriever's encoder into the CE
+    (the no-pretraining analogue of the reference's macbert backbone)."""
+    import jax
+    import jax.numpy as jnp
+
+    from colbert_tpu.models import ColbertModel
+    from colbert_tpu.training import CETrainer
+
+    retr = ColbertModel(tiny_cfg.model, tiny_cfg.multiview)
+    ids = jnp.zeros((1, 16), jnp.int32)
+    rp = retr.init(jax.random.PRNGKey(3), ids, jnp.ones_like(ids),
+                   jnp.zeros((1, 24), jnp.int32), jnp.ones((1, 24), jnp.int32))["params"]
+
+    trainer = CETrainer(tiny_cfg, tokenizer, mesh=mesh8, init_params={"bert": rp["bert"]})
+    trainer._init_state(total_steps=1)
+    got = jax.tree.map(np.asarray, trainer.state.params["bert"])
+    want = jax.tree.map(np.asarray, rp["bert"])
+    flat_g = jax.tree_util.tree_leaves(got)
+    flat_w = jax.tree_util.tree_leaves(want)
+    assert len(flat_g) == len(flat_w)
+    for g, w in zip(flat_g, flat_w):
+        np.testing.assert_array_equal(g, w)
+    # the CE head stays freshly initialized (shape (hidden, 1), not dim)
+    assert trainer.state.params["linear"]["kernel"].shape[-1] == 1
+
+
 def test_grad_accum_smoke(tiny_cfg, tokenizer, mesh8):
     import dataclasses
 
