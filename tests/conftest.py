@@ -12,6 +12,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: the suite is compile-bound on a cold machine
+# (cache keys include the platform, so this never collides with TPU runs)
+jax.config.update("jax_compilation_cache_dir", "/tmp/colbert_tpu_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # XLA:CPU's default matmul path is reduced-precision; tests compare against
 # numpy oracles, so force full fp32.
 jax.config.update("jax_default_matmul_precision", "highest")
