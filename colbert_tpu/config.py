@@ -306,8 +306,15 @@ class ServeConfig:
     # batched probe: the N most-probed lists are scanned densely against all
     # tokens (probe popularity is heavily skewed; a list over the slot
     # capacity would otherwise truncate pairs).  Must exceed the number of
-    # lists probed by >1024 tokens of a batch (46 at the bench point).
-    probe_hot_lists: int = 64
+    # lists whose member count tops the groups*tpl=1024 slot capacity (46 at
+    # the 20k-doc bench point) — raising nprobe lowers every token's
+    # membership threshold and multiplies overflowing lists (measured at
+    # 200k docs/K=16384: nprobe 128->256 at hot=64 DROPPED recall@100
+    # 0.779 -> 0.652 from silently truncated pairs).  0 = auto:
+    # max(64, nprobe), which keeps nprobe<=64 configs bit-identical and
+    # scales the dense scan with probe width (the scan is one fat matmul
+    # per 128-row block — adding hot lists is far cheaper than lost pairs).
+    probe_hot_lists: int = 0
     # candidate dedup implementation: "packed" sorts ONE int32 per entry
     # (pid+token key in the high bits, per-query-quantized score in the low
     # bits) and selects the budget with approx_max_k — recall-safe (the

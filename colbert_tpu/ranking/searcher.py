@@ -597,7 +597,7 @@ class ColbertSearcher:
                 probe_impl=self.cfg.serve.probe_impl,
                 list_topr=self.cfg.serve.probe_list_topr,
                 probe_stop=probe_stop,
-                hot_cap=self.cfg.serve.probe_hot_lists,
+                hot_cap=self.cfg.serve.probe_hot_lists or max(64, nprobe),
             )
             out = retrieval_core(
                 Qm, qm, probe_fn, pid_by_row,

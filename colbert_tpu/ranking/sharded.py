@@ -317,7 +317,7 @@ class ShardedColbertSearcher:
                 approx_topk=self.cfg.serve.approx_probe_topk,
                 probe_impl=self.cfg.serve.probe_impl,
                 list_topr=self.cfg.serve.probe_list_topr,
-                hot_cap=self.cfg.serve.probe_hot_lists,
+                hot_cap=self.cfg.serve.probe_hot_lists or max(64, nprobe),
             )
             ts, tp = retrieval_core(
                 Qm, qm, probe_fn, sq(pid_by_row),

@@ -282,3 +282,58 @@ class TestHotLists:
             np.sort(np.asarray(s_hot)[0]), np.sort(np.asarray(s_cut)[0]),
             rtol=5e-3, atol=5e-3,
         )
+
+    def test_many_overflowing_lists_need_wide_hot_cap(self):
+        """Raising nprobe lowers every token's membership threshold, so MANY
+        lists can overflow the groups*tpl slot capacity at once; a hot_cap
+        smaller than that count silently drops pairs (measured at 200k
+        docs/K=16384: nprobe 128->256 at hot_cap=64 dropped recall@100
+        0.779->0.652).  With hot_cap >= the overflow count every token keeps
+        its per-list top-r for every probed list."""
+        rng = np.random.default_rng(11)
+        sq_dim, dim, K, n_hot = 8, 32, 8, 5
+        centers = rng.normal(size=(n_hot, dim)).astype(np.float32)
+        embs = np.concatenate(
+            [c + 0.05 * rng.normal(size=(60, dim)) for c in centers]
+            + [rng.normal(size=(80, dim))]
+        ).astype(np.float32)
+        embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+        proj, scales = sq_train(jnp.asarray(embs), sq_dim)
+        codes = np.asarray(sq_encode(jnp.asarray(embs), proj, scales))
+        coarse = np.concatenate([
+            centers / np.linalg.norm(centers, axis=1, keepdims=True),
+            rng.normal(size=(K - n_hot, dim)).astype(np.float32),
+        ])
+        assign = np.argmax(embs @ coarse.T, axis=1).astype(np.int32)
+        perm, offsets = sort_by_list(assign, K)
+        # queries near the centroid MEAN probe all n_hot lists (wide nprobe)
+        q = (centers.mean(0) + 0.05 * rng.normal(size=(20, dim))).astype(np.float32)
+        maxb = (int((offsets[1:] - offsets[:-1]).max()) + 31 + 127) // 128
+        # capacity 2x4=8 < 20 probing tokens for each of the n_hot lists
+        kw = dict(nprobe=n_hot, depth=n_hot * 8, maxb=maxb, r=8,
+                  tpl=4, groups=2, interpret=True)
+        probe = lambda hc: [np.asarray(a) for a in ivf_probe_sq_batched(
+            jnp.asarray(q), jnp.asarray(coarse), proj, scales,
+            jnp.asarray(codes[perm]), jnp.asarray(offsets), hot_cap=hc, **kw,
+        )]
+        _, r_narrow = probe(2)      # hot_cap < overflowing lists: pairs drop
+        _, r_wide = probe(n_hot)    # the auto default covers them all
+        lists = np.argsort(-(q @ coarse.T), axis=1)[:, :n_hot]
+        cover = lambda rows, t: sum(
+            int(((rows[t] >= offsets[l]) & (rows[t] < offsets[l + 1])).sum() > 0)
+            for l in lists[t]
+        )
+        wide_cov = [cover(r_wide, t) for t in range(q.shape[0])]
+        narrow_cov = [cover(r_narrow, t) for t in range(q.shape[0])]
+        # with hot_cap >= overflow count every token sees all probed lists
+        assert min(wide_cov) == n_hot, (wide_cov, narrow_cov)
+        # with a narrow hot_cap most tokens lose whole probed lists
+        assert np.mean(narrow_cov) < n_hot - 1, (wide_cov, narrow_cov)
+
+    def test_searcher_auto_hot_cap_tracks_nprobe(self):
+        """ServeConfig.probe_hot_lists=0 resolves to max(64, nprobe)."""
+        from colbert_tpu.config import ServeConfig
+
+        assert ServeConfig().probe_hot_lists == 0
+        for nprobe, want in ((8, 64), (64, 64), (256, 256), (512, 512)):
+            assert (ServeConfig().probe_hot_lists or max(64, nprobe)) == want
