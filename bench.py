@@ -53,10 +53,65 @@ def make_synthetic_embeddings(num_docs, d_view, dim, seed=0):
     return embs
 
 
+def write_synthetic_parts_device(path, num_docs, d_view, dim, seed=0,
+                                 docs_per_part=65536):
+    """TPU-generated synthetic corpus, written as fp16 part files.
+
+    Same structure as :func:`make_synthetic_embeddings` (256-topic mixture +
+    anisotropic spectrum, unit-norm rows) but generated with ``jax.random``
+    on the accelerator and pulled part-by-part.  This bench host's numpy RNG
+    runs at ~2M gaussians/s — a 1M-doc corpus (12.3B gaussians) would take
+    hours on host; on device it is transfer-bound instead (one fp16 pull of
+    the corpus).  Not bit-identical to the host generator; each corpus's
+    recall is measured against its own exact oracle, so comparability holds.
+    """
+    import os
+
+    from colbert_tpu.indexing import IndexStorage
+
+    storage = IndexStorage(path)
+    if os.path.exists(os.path.join(path, "meta.json")):
+        return storage
+    from jax import random as jr
+
+    n_topics = 256
+    spectrum = jnp.asarray((1.0 / np.sqrt(1.0 + np.arange(dim))).astype(np.float32))
+    key = jr.PRNGKey(seed)
+    kt, key = jr.split(key)
+    topics = jr.normal(kt, (n_topics, dim), jnp.float32) * spectrum
+    topics = topics / jnp.linalg.norm(topics, axis=1, keepdims=True)
+
+    @jax.jit
+    def gen_chunk(k):
+        kd, kn = jr.split(k)
+        doc_topic = jr.randint(kd, (docs_per_part,), 0, n_topics)
+        base = jnp.repeat(topics[doc_topic], d_view, axis=0)
+        noise = jr.normal(kn, (docs_per_part * d_view, dim), jnp.float32)
+        e = base + 0.3 * (noise * spectrum)
+        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+        return e.astype(jnp.float16)
+
+    parts = (num_docs + docs_per_part - 1) // docs_per_part
+    for p in range(parts):
+        n = min(docs_per_part, num_docs - p * docs_per_part)
+        key, kc = jr.split(key)
+        e = np.asarray(gen_chunk(kc))[: n * d_view]
+        storage.write_part(p, e, [d_view] * n)
+        print(f"[gen] part {p + 1}/{parts} ({n} docs) written", flush=True)
+    storage.write_meta(
+        {"dim": dim, "num_docs": num_docs, "num_embeddings": num_docs * d_view,
+         "multiview": True, "d_view": d_view, "num_parts": parts,
+         "embedding_dtype": "float16"}
+    )
+    return storage
+
+
 def build_synthetic_index(embs, num_docs, d_view, dim, cfg, cache: bool = True,
-                          ivf: bool = True):
+                          ivf: bool = True, gen: str = "host"):
     """``ivf=False`` writes parts+meta only — enough for serve.mode='flat',
-    which reads no IVF index (and skips the minutes-long k-means at scale)."""
+    which reads no IVF index (and skips the minutes-long k-means at scale).
+    ``gen='device'`` generates the corpus on the accelerator (pass
+    ``embs=None``) — required above ~200k docs on RNG-starved bench hosts."""
     import os
 
     from colbert_tpu.indexing import IndexBuilder, IndexStorage
@@ -65,21 +120,24 @@ def build_synthetic_index(embs, num_docs, d_view, dim, cfg, cache: bool = True,
     # and the synthetic corpus is deterministic per (codec, size, balance)
     tag = (f"{cfg.index.codec}_{num_docs}x{d_view}x{dim}_p{cfg.index.partitions}"
            f"_b{cfg.index.balance_factor}_sq{cfg.index.sq_dim}_m{cfg.index.pq_m}"
-           + ("" if ivf else "_noivf"))
+           + ("" if ivf else "_noivf") + ("_dgen" if gen == "device" else ""))
     path = f"/tmp/colbert_bench_idx_{tag}"
     storage = IndexStorage(path)
     done_marker = os.path.join(path, "ivf", "offsets.npy") if ivf else os.path.join(path, "meta.json")
     if cache and os.path.exists(done_marker):
         return storage
-    parts = 4
-    per = num_docs // parts
-    for p in range(parts):
-        lo, hi = p * per, (p + 1) * per if p < parts - 1 else num_docs
-        storage.write_part(p, embs[lo * d_view : hi * d_view].astype(np.float16), [d_view] * (hi - lo))
-    storage.write_meta(
-        {"dim": dim, "num_docs": num_docs, "num_embeddings": num_docs * d_view,
-         "multiview": True, "d_view": d_view, "num_parts": parts, "embedding_dtype": "float16"}
-    )
+    if gen == "device":
+        write_synthetic_parts_device(path, num_docs, d_view, dim)
+    elif not os.path.exists(os.path.join(path, "meta.json")):
+        parts = 4
+        per = num_docs // parts
+        for p in range(parts):
+            lo, hi = p * per, (p + 1) * per if p < parts - 1 else num_docs
+            storage.write_part(p, embs[lo * d_view : hi * d_view].astype(np.float16), [d_view] * (hi - lo))
+        storage.write_meta(
+            {"dim": dim, "num_docs": num_docs, "num_embeddings": num_docs * d_view,
+             "multiview": True, "d_view": d_view, "num_parts": parts, "embedding_dtype": "float16"}
+        )
     if ivf:
         IndexBuilder(cfg, storage).build(chunk=1 << 14)
     return storage

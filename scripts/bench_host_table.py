@@ -112,6 +112,10 @@ def main():
     ap.add_argument("--depth", type=int, default=512)
     ap.add_argument("--host-candidates", type=int, default=256)
     ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--gen", default="device", choices=("host", "device"),
+                    help="corpus generation: 'device' = jax.random on the "
+                         "accelerator (this bench host's numpy RNG is ~2M "
+                         "gaussians/s — 22.4M vectors would take hours)")
     args = ap.parse_args()
 
     import sys
@@ -153,7 +157,12 @@ def main():
 
     path = f"/tmp/colbert_bench_idx_host_{args.docs}x{d_view}x{dim}_p{args.partitions}"
     t0 = time.time()
-    storage = write_big_corpus(path, args.docs, d_view, dim)
+    if args.gen == "device":
+        from bench import write_synthetic_parts_device
+
+        storage = write_synthetic_parts_device(path, args.docs, d_view, dim)
+    else:
+        storage = write_big_corpus(path, args.docs, d_view, dim)
     print(f"corpus ready in {time.time() - t0:.0f}s", flush=True)
     if not os.path.exists(os.path.join(path, "ivf", "offsets.npy")):
         t0 = time.time()

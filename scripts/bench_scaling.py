@@ -106,6 +106,10 @@ def main():
     ap.add_argument("--mode", default="ann", choices=("ann", "flat"),
                     help="flat = exact brute-force MXU scan (no IVF build at "
                          "all; recall 1.0 by construction)")
+    ap.add_argument("--gen", default="host", choices=("host", "device"),
+                    help="corpus generation: 'device' = jax.random on the "
+                         "accelerator (use above ~200k docs; this bench "
+                         "host's numpy RNG is ~2M gaussians/s)")
     ap.add_argument("--sweep", default="",
                     help="serve-knob sweep on ONE index + oracle per size: "
                          "comma-separated nprobe:depth:topr:maxcand combos, "
@@ -166,9 +170,10 @@ def main():
 
         cfg = cfg_for(*combos[0])
         t0 = time.time()
-        embs = make_synthetic_embeddings(num_docs, d_view, dim)
+        embs = (None if args.gen == "device"
+                else make_synthetic_embeddings(num_docs, d_view, dim))
         storage = build_synthetic_index(embs, num_docs, d_view, dim, cfg,
-                                        ivf=(args.mode != "flat"))
+                                        ivf=(args.mode != "flat"), gen=args.gen)
         print(f"[{num_docs}] index ready in {time.time()-t0:.0f}s", flush=True)
         del embs
         if args.mode == "flat":
