@@ -129,6 +129,8 @@ def build_synthetic_index(embs, num_docs, d_view, dim, cfg, cache: bool = True,
     if gen == "device":
         write_synthetic_parts_device(path, num_docs, d_view, dim)
     elif not os.path.exists(os.path.join(path, "meta.json")):
+        if embs is None:  # lazy: skip the (slow) host generation on cache hit
+            embs = make_synthetic_embeddings(num_docs, d_view, dim)
         parts = 4
         per = num_docs // parts
         for p in range(parts):

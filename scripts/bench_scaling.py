@@ -119,7 +119,7 @@ def main():
 
     import sys
     sys.path.insert(0, ".")
-    from bench import build_synthetic_index, exact_oracle_topk, make_synthetic_embeddings
+    from bench import build_synthetic_index, exact_oracle_topk
     from colbert_tpu.config import (
         ColbertConfig, IndexConfig, MeshConfig, ModelConfig, MultiviewConfig,
         ServeConfig, TokenizerConfig,
@@ -170,12 +170,9 @@ def main():
 
         cfg = cfg_for(*combos[0])
         t0 = time.time()
-        embs = (None if args.gen == "device"
-                else make_synthetic_embeddings(num_docs, d_view, dim))
-        storage = build_synthetic_index(embs, num_docs, d_view, dim, cfg,
+        storage = build_synthetic_index(None, num_docs, d_view, dim, cfg,
                                         ivf=(args.mode != "flat"), gen=args.gen)
         print(f"[{num_docs}] index ready in {time.time()-t0:.0f}s", flush=True)
-        del embs
         if args.mode == "flat":
             lens = np.zeros(1, np.int64)
             bytes_codes = 0
