@@ -1,24 +1,36 @@
 """End-to-end serving benchmark.
 
-Measures the fused query pipeline (encode -> IVF probe -> ADC -> dedup ->
-gather -> exact MaxSim -> top-k) on a synthetic corpus at the reference's
-operating point (dim 768, multiview d_view=16, PQ m=64 nbits=8 = 64 B per
-token vector, nprobe=128, candidate depth=512, topk=100 — see BASELINE.md),
-and reports QPS/chip.
+Measures the serving pipeline on a synthetic corpus at the reference's
+operating point (dim 768, multiview d_view=16, 64 B per token vector for
+the ANN codecs, nprobe=128, candidate depth=512, topk=100 — see
+BASELINE.md), and reports QPS/chip.
+
+Cold-start protocol (round 4): the exact flat MaxSim mode (the recommended
+serving mode, no index build needed) is measured FIRST and a complete
+headline JSON line is printed and flushed as soon as it exists — within a
+few minutes even on a cold machine.  The ANN codecs (sq, pq4) then run
+under a wall-clock budget (``COLBERT_BENCH_BUDGET_S``, default 600 s;
+index builds are cached in /tmp) and each completed codec re-emits a
+superseding complete JSON line, so killing the process at ANY point
+leaves a valid official record on stdout.  The strict-parity 8-bit PQ
+codec (26.9 QPS, kept for reference comparison only — see DESIGN.md) runs
+only with ``COLBERT_BENCH_PQ=1``.
 
 ``vs_baseline`` compares against a faithful *unfused* translation of the
 reference's serving loop (``dense_server_client.py:44-48`` +
-``colbert_ranker.py``): queries encoded in a batch, then PER-QUERY probe /
-host-side uniq / gather / MaxSim with host round-trips — i.e. what a naive
+``colbert_ranker.py``): queries encoded in a batch, then PER-QUERY scoring
+driven from the host with a device round-trip per step — i.e. what a naive
 port of the CUDA/torch design would do on this same chip.  >1 means the
 TPU-native fused design wins.
 
-Prints exactly one JSON line.
+Everything except the JSON record lines goes to stderr.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -64,6 +76,12 @@ def write_synthetic_parts_device(path, num_docs, d_view, dim, seed=0,
     hours on host; on device it is transfer-bound instead (one fp16 pull of
     the corpus).  Not bit-identical to the host generator; each corpus's
     recall is measured against its own exact oracle, so comparability holds.
+
+    HBM note: each generated chunk transiently holds base+noise+result at
+    (docs_per_part * d_view, dim) fp32 — ~10 GB peak at the default 65536 x
+    16 x 768.  Fine while nothing else is HBM-resident (generation runs
+    before any index/table is loaded); lower ``docs_per_part`` for headroom
+    if generating with a live searcher in the same process.
     """
     import os
 
@@ -111,7 +129,10 @@ def build_synthetic_index(embs, num_docs, d_view, dim, cfg, cache: bool = True,
     """``ivf=False`` writes parts+meta only — enough for serve.mode='flat',
     which reads no IVF index (and skips the minutes-long k-means at scale).
     ``gen='device'`` generates the corpus on the accelerator (pass
-    ``embs=None``) — required above ~200k docs on RNG-starved bench hosts."""
+    ``embs=None``) — required above ~200k docs on RNG-starved bench hosts.
+    ``cache=False`` rebuilds the IVF only: existing part files at the tagged
+    path are reused (part generation is deterministic per tag, so the
+    corpus is identical either way)."""
     import os
 
     from colbert_tpu.indexing import IndexBuilder, IndexStorage
@@ -181,6 +202,50 @@ def naive_reference_loop(searcher, q_ids, q_attn, q_active, topk, nprobe, depth)
     return results
 
 
+def naive_flat_loop(searcher, q_ids, q_attn, q_active, topk, docs_chunk=2048):
+    """Unfused per-query serving over the flat table, as a line-for-line
+    torch port of the reference would run it on this chip: queries encoded
+    in a batch (``dense_server_client.py:39-43``), then a host-driven
+    PER-QUERY loop (``:44-48``) scoring the corpus chunk by chunk with a
+    dispatch + host pull per step (the reference's bucketed
+    ``rank_forward`` shape, ``colbert_ranker.py:96-130``)."""
+    from colbert_tpu.ops.maxsim import maxsim_xla
+
+    model = searcher.model
+    Q = model.apply({"params": searcher.params}, jnp.asarray(q_ids),
+                    jnp.asarray(q_attn), method=model.query)
+    Q = np.asarray(Q * jnp.asarray(q_active, Q.dtype)[..., None])
+    dv = searcher.flat_dv
+    tbl = searcher.emb_table
+    inv = searcher.emb_inv_scale
+    docs_pad = tbl.shape[0] // dv
+    docs_chunk = min(docs_chunk, docs_pad)
+    n_chunks = -(-docs_pad // docs_chunk)
+
+    @jax.jit
+    def score_chunk(Qb, table, lo):
+        # table passed as an argument: closed-over device arrays embed as
+        # HLO constants and the axon compile endpoint rejects >~400 MB
+        chunk = jax.lax.dynamic_slice_in_dim(table, lo * dv, docs_chunk * dv)
+        D = chunk.reshape(docs_chunk, dv, -1).astype(jnp.float32)
+        if inv is not None:
+            D = D * inv
+        return maxsim_xla(Qb.astype(jnp.float32), D)
+
+    results = []
+    for b in range(Q.shape[0]):  # per-query host loop (the reference's shape)
+        Qb = jnp.asarray(Q[b : b + 1])
+        s = np.empty(docs_pad, np.float32)
+        for c in range(n_chunks):
+            # the tail chunk realigns; the overlap re-writes equal values
+            lo = min(c * docs_chunk, docs_pad - docs_chunk)
+            s[lo : lo + docs_chunk] = np.asarray(score_chunk(Qb, tbl, lo))[0]  # host pull/step
+        s = s[: searcher.num_docs]
+        order = np.argsort(-s)[:topk]
+        results.append((order, s[order]))
+    return results
+
+
 def exact_oracle_topk(searcher, q_ids, q_attn, q_active, topk):
     """Brute-force exact MaxSim over the whole corpus (no ANN)."""
     from colbert_tpu.ops.maxsim import maxsim_xla
@@ -219,8 +284,18 @@ def bench_searcher(searcher, q_ids, q_attn, q_active, topk, nprobe, depth, n_war
     return float(np.median(times)), float(pipelined), res
 
 
+def log(msg):
+    print(f"[bench +{time.perf_counter() - T_START:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+T_START = time.perf_counter()
+
+
 def main():
     tpu = is_tpu()
+    budget_s = float(os.environ.get("COLBERT_BENCH_BUDGET_S", "600"))
+    run_pq = os.environ.get("COLBERT_BENCH_PQ", "0") == "1"
     num_docs = 20000 if tpu else 400
     dim = 768 if tpu else 64
     d_view, q_view = 16, 16
@@ -230,6 +305,7 @@ def main():
     # 144 = the reference's serving batch (dense_server_client.py:39)
     batch = 144 if tpu else 4
     n_warm, n_iter = 3, 15 if tpu else 2
+    gen = "device" if tpu else "host"
 
     from colbert_tpu.config import (
         ColbertConfig, IndexConfig, MeshConfig, ModelConfig, MultiviewConfig,
@@ -258,7 +334,8 @@ def main():
             mesh=MeshConfig(data=-1, model=1),
         )
 
-    embs = make_synthetic_embeddings(num_docs, d_view, dim)
+    # host gen only below device scale; the tiny CPU config stays host-side
+    embs = None if gen == "device" else make_synthetic_embeddings(num_docs, d_view, dim)
     mesh = make_mesh(-1, 1)
     cfg_pq, cfg_sq, cfg_pq4 = cfg_for("pq"), cfg_for("sq"), cfg_for("pq4")
     model = ColbertModel(model_cfg, cfg_pq.multiview)
@@ -283,47 +360,86 @@ def main():
 
     results = {}
     searchers = {}
-    # "flat" = exact brute-force MXU scan (ops/flat_scan.py): recall 1.0 by
-    # construction; reuses the sq storage (reads only parts + doclens)
-    for codec, cfg in (("sq", cfg_sq), ("flat", cfg_flat), ("pq4", cfg_pq4), ("pq", cfg_pq)):
-        storage = build_synthetic_index(embs, num_docs, d_view, dim, cfg)
+    state = {"oracle": None, "naive_qps": None}
+
+    def emit():
+        """Print a COMPLETE superseding JSON record of everything measured
+        so far — the last line on stdout is always a valid official number."""
+        done = {c: r for c, r in results.items() if "skipped" not in r}
+        best = max(done, key=lambda c: done[c]["qps"])
+        qps = done[best]["qps"]
+        naive = state["naive_qps"]
+        print(json.dumps({
+            "metric": "serve_qps_per_chip",
+            "value": round(qps, 2),
+            "unit": "queries/s",
+            "vs_baseline": round(qps / naive, 2) if naive else None,
+            "detail": {
+                "codec": best,
+                "per_codec": {
+                    c: (r if "skipped" in r
+                        else {k: round(v, 3) for k, v in r.items()})
+                    for c, r in results.items()
+                },
+                "batch": batch, "num_docs": num_docs, "dim": dim,
+                "nprobe": nprobe, "depth": depth, "topk": topk,
+                "naive_qps": round(naive, 3) if naive else None,
+                "elapsed_s": round(time.perf_counter() - T_START, 1),
+                "platform": jax.devices()[0].platform,
+            },
+        }), flush=True)
+
+    def run_codec(codec, cfg, ivf=True):
+        log(f"{codec}: building index (cached in /tmp after first run)")
+        storage = build_synthetic_index(embs, num_docs, d_view, dim, cfg,
+                                        ivf=ivf, gen=gen)
         searchers[codec] = ColbertSearcher(cfg, _Tok(), params, storage, mesh=mesh)
-        dt, dt_pipe, res = bench_searcher(searchers[codec], q_ids, q_attn, q_active, topk, nprobe, depth, n_warm, n_iter)
-        results[codec] = {
-            "qps": batch / dt_pipe, "p50_batch_ms": dt * 1e3,
-            "qps_sequential": batch / dt, "pids": res.pids,
-        }
-
-    # candidate-quality: recall@topk vs exact MaxSim oracle
-    oracle = exact_oracle_topk(searchers["pq"], q_ids, q_attn, q_active, topk)
-    for codec in results:
-        pids = results[codec].pop("pids")
-        results[codec]["recall_vs_exact"] = float(np.mean([
-            len(set(pids[i]) & set(oracle[i])) / topk for i in range(batch)
+        log(f"{codec}: serving ({n_warm} warmup + {n_iter} timed batches of {batch})")
+        dt, dt_pipe, res = bench_searcher(
+            searchers[codec], q_ids, q_attn, q_active, topk, nprobe, depth, n_warm, n_iter
+        )
+        r = {"qps": batch / dt_pipe, "p50_batch_ms": dt * 1e3,
+             "qps_sequential": batch / dt}
+        if state["oracle"] is None:
+            # fp32 oracle over the first codec's table (flat: doc-major, the
+            # very table being served — exactness up to bf16-tie reshuffling)
+            state["oracle"] = exact_oracle_topk(
+                searchers[codec], q_ids, q_attn, q_active, topk
+            )
+        oracle = state["oracle"]
+        r["recall_vs_exact"] = float(np.mean([
+            len(set(res.pids[i]) & set(oracle[i])) / topk for i in range(batch)
         ]))
+        results[codec] = r
+        log(f"{codec}: {r['qps']:.1f} QPS pipelined, p50 {r['p50_batch_ms']:.1f} ms, "
+            f"recall@{topk} {r['recall_vs_exact']:.3f}")
 
-    # --- naive (reference-shaped) per-query loop on the PQ index ---
+    # --- headline first: exact flat MaxSim serving needs NO index build ---
+    run_codec("flat", cfg_flat, ivf=False)
+    emit()  # <- a valid headline record exists from this point on
+    # naive (reference-shaped) per-query host-driven loop, same flat table
     nb = min(batch, 8)
-    naive_reference_loop(searchers["pq"], q_ids[:nb], q_attn[:nb], q_active[:nb], topk, nprobe, depth)
+    naive_flat_loop(searchers["flat"], q_ids[:nb], q_attn[:nb], q_active[:nb], topk)
     t0 = time.perf_counter()
-    naive_reference_loop(searchers["pq"], q_ids[:nb], q_attn[:nb], q_active[:nb], topk, nprobe, depth)
-    naive_qps = nb / (time.perf_counter() - t0)
+    naive_flat_loop(searchers["flat"], q_ids[:nb], q_attn[:nb], q_active[:nb], topk)
+    state["naive_qps"] = nb / (time.perf_counter() - t0)
+    log(f"naive reference-shaped loop: {state['naive_qps']:.2f} QPS")
+    emit()  # now with vs_baseline
 
-    best = max(results, key=lambda c: results[c]["qps"])
-    qps = results[best]["qps"]
-    print(json.dumps({
-        "metric": "serve_qps_per_chip",
-        "value": round(qps, 2),
-        "unit": "queries/s",
-        "vs_baseline": round(qps / naive_qps, 2),
-        "detail": {
-            "codec": best,
-            "per_codec": {c: {k: round(v, 3) for k, v in r.items()} for c, r in results.items()},
-            "batch": batch, "num_docs": num_docs, "dim": dim,
-            "nprobe": nprobe, "depth": depth, "topk": topk,
-            "naive_qps": round(naive_qps, 3), "platform": jax.devices()[0].platform,
-        },
-    }))
+    # --- ANN codecs under the wall-clock budget ---
+    ann = [("sq", cfg_sq), ("pq4", cfg_pq4)]
+    if run_pq:
+        ann.append(("pq", cfg_pq))
+    for codec, cfg in ann:
+        if time.perf_counter() - T_START > budget_s:
+            results[codec] = {"skipped": f"wall-clock budget {budget_s:.0f}s"}
+            log(f"{codec}: skipped (over budget)")
+            continue
+        run_codec(codec, cfg)
+        emit()
+    if not run_pq:
+        results["pq"] = {"skipped": "COLBERT_BENCH_PQ=1 to run (26.9 QPS strict-parity codec)"}
+        emit()
 
 
 if __name__ == "__main__":

@@ -344,6 +344,10 @@ class ServeConfig:
     # uniform-doclen (multiview) corpus.
     rerank_table: str = "hbm"
     host_rerank_candidates: int = 256
+    # batches kept in flight by RetrievalService.retrieve (async dispatch
+    # via search_tokens_device): batch i+1 tokenizes + dispatches while the
+    # device runs batch i.  1 = synchronous (the reference's serving shape).
+    pipeline_inflight: int = 3
     host: str = "127.0.0.1"
     port: int = 9090
     authkey: str = "colbert-tpu"

@@ -22,6 +22,7 @@ Key redesigns vs the reference:
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Tuple
 
@@ -347,6 +348,10 @@ class ColbertSearcher:
     ):
         self.cfg = cfg
         self.tok = tokenizer
+        # concurrent server connections share one searcher: guard the
+        # compiled-fn cache so a key races to ONE jit wrapper (jax dispatch
+        # itself is thread-safe)
+        self._fns_lock = threading.Lock()
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.data, cfg.mesh.model)
         self.model = ColbertModel(cfg.model, cfg.multiview)
         self.params = jax.device_put(params, param_shardings(params, self.mesh))
@@ -560,8 +565,9 @@ class ColbertSearcher:
 
     def _search_tokens_flat(self, q_ids, q_attn, q_active, topk: int):
         key = ("flat", topk)
-        if key not in self._search_fns:
-            self._search_fns[key] = self._make_flat_fn(topk)
+        with self._fns_lock:
+            if key not in self._search_fns:
+                self._search_fns[key] = self._make_flat_fn(topk)
         return self._search_fns[key](
             self.params, self.emb_table, self.emb_inv_scale,
             jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active),
@@ -668,8 +674,9 @@ class ColbertSearcher:
                 q_ids, q_attn, q_active, topk, nprobe, depth, max_cand, query_chunk
             )
         key = (topk, nprobe, depth, cap, max_cand, query_chunk)
-        if key not in self._search_fns:
-            self._search_fns[key] = self._make_search_fn(*key)
+        with self._fns_lock:
+            if key not in self._search_fns:
+                self._search_fns[key] = self._make_search_fn(*key)
         fn = self._search_fns[key]
 
         inv = self.emb_inv_scale if self.emb_inv_scale is not None else jnp.ones((1,), jnp.float32)
@@ -763,8 +770,9 @@ class ColbertSearcher:
         depth = depth or s.candidate_depth
         key = (topk, nprobe, depth, self.max_list_len,
                min(s.max_candidates, self.num_docs), query_chunk)
-        if key not in self._search_fns:
-            self._search_fns[key] = self._make_search_fn(*key)
+        with self._fns_lock:
+            if key not in self._search_fns:
+                self._search_fns[key] = self._make_search_fn(*key)
         inv = self.emb_inv_scale if self.emb_inv_scale is not None else jnp.ones((1,), jnp.float32)
         return self._search_fns[key](
             self.params, self.coarse, self._quant, self.codes, self.offsets,

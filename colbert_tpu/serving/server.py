@@ -7,6 +7,15 @@ requests are ``(questions, topk, candidate_depth, nprobe)`` tuples over a
 
 * queries flow through the fused batched searcher (the reference re-ranked
   one query at a time on the host, SURVEY §3.4);
+* batches within a request are PIPELINED: the next batch is tokenized and
+  dispatched while the device still runs the previous one
+  (:meth:`ColbertSearcher.search_tokens_device`), so the socket surface
+  reaches the async headline throughput instead of paying a dispatch+fetch
+  round-trip per batch (the reference's loop is fully synchronous,
+  ``dense_server_client.py:39-49``);
+* connections are served concurrently (thread per connection) — a slow
+  client cannot block the listener (the reference serves one connection at
+  a time, ``dense_server_client.py:51-65``);
 * errors return a structured ``{"error": ...}`` payload instead of being
   swallowed by a bare except (``dense_server_client.py:64-65``);
 * the service is usable in-process (no IPC) — the server is a thin shell.
@@ -16,6 +25,7 @@ from __future__ import annotations
 
 import threading
 import traceback
+from collections import deque
 from multiprocessing.connection import Client as MPClient, Listener
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -40,6 +50,17 @@ class RetrievalService:
         self.corpus = corpus
         self.cfg = cfg or searcher.cfg
 
+    def _rows(self, pids, scores, n_real) -> List[List[Triple]]:
+        out: List[List[Triple]] = []
+        for i in range(n_real):
+            row: List[Triple] = []
+            for pid, score in zip(pids[i], scores[i]):
+                if pid < 0:
+                    continue
+                row.append((int(pid), float(score), self.corpus[int(pid)]))
+            out.append(row)
+        return out
+
     def retrieve(
         self,
         questions: Sequence[str],
@@ -47,24 +68,46 @@ class RetrievalService:
         depth: Optional[int] = None,
         nprobe: Optional[int] = None,
     ) -> List[List[Triple]]:
+        """Batched retrieval with up to ``serve.pipeline_inflight`` batches
+        in flight: batch i+1 is tokenized and dispatched while the device
+        still executes batch i, hiding the per-call dispatch/fetch latency
+        (~80 ms on a tunnel-attached chip — the difference between the
+        sequential and pipelined headline numbers in BENCHLOG)."""
         s = self.cfg.serve
         topk = topk or s.topk
         out: List[List[Triple]] = []
         bs = s.query_batch_size
+        # the host-table mode synchronizes mid-query (host gather); it keeps
+        # the simple synchronous per-batch loop
+        pipelined = self.searcher.host_table is None
+        inflight = max(1, s.pipeline_inflight) if pipelined else 1
+        pending: deque = deque()
+
+        def drain_one():
+            n_real, handle = pending.popleft()
+            ts, tp = handle
+            out.extend(self._rows(np.asarray(tp), np.asarray(ts), n_real))
+
         for lo in range(0, len(questions), bs):
             chunk = list(questions[lo : lo + bs])
             n_real = len(chunk)
             # pad the tail batch to the static size: one compiled program
             # serves every request shape
             chunk = chunk + [""] * (bs - n_real)
-            res = self.searcher.search(chunk, topk=topk, nprobe=nprobe, depth=depth)
-            for i in range(n_real):
-                row: List[Triple] = []
-                for pid, score in zip(res.pids[i], res.scores[i]):
-                    if pid < 0:
-                        continue
-                    row.append((int(pid), float(score), self.corpus[int(pid)]))
-                out.append(row)
+            if pipelined:
+                enc = self.searcher.tok.encode_queries(chunk)
+                handle = self.searcher.search_tokens_device(
+                    enc.input_ids, enc.attention_mask, enc.active_mask,
+                    topk=topk, nprobe=nprobe, depth=depth,
+                )
+                pending.append((n_real, handle))
+                if len(pending) >= inflight:
+                    drain_one()
+            else:
+                res = self.searcher.search(chunk, topk=topk, nprobe=nprobe, depth=depth)
+                out.extend(self._rows(res.pids, res.scores, n_real))
+        while pending:
+            drain_one()
         return out
 
 
@@ -76,6 +119,31 @@ class RetrievalServer:
         self.authkey = authkey or s.authkey.encode()
         self._stop = threading.Event()
         self._listener: Optional[Listener] = None
+
+    def _handle_conn(self, conn) -> None:
+        """Per-connection request loop, run on its own thread — concurrent
+        clients interleave at batch granularity on the device queue instead
+        of blocking each other at the listener."""
+        try:
+            while True:
+                try:
+                    req = conn.recv()
+                except (EOFError, OSError):
+                    break
+                if req == "__shutdown__":
+                    self._stop.set()
+                    conn.send({"ok": True})
+                    self.stop()  # close the listener: unblocks accept()
+                    break
+                try:
+                    questions, topk, depth, nprobe = req
+                    res = self.service.retrieve(questions, topk=topk, depth=depth, nprobe=nprobe)
+                    conn.send(res)
+                except Exception as e:  # noqa: BLE001 — report, don't die
+                    logger.error("retrieval error: %s", traceback.format_exc())
+                    conn.send({"error": f"{type(e).__name__}: {e}"})
+        finally:
+            conn.close()
 
     def serve_forever(self) -> None:
         self._listener = Listener(self.address, authkey=self.authkey)
@@ -91,26 +159,13 @@ class RetrievalServer:
                 continue
             except (OSError, EOFError):
                 break
-            try:
-                while True:
-                    try:
-                        req = conn.recv()
-                    except EOFError:
-                        break
-                    if req == "__shutdown__":
-                        self._stop.set()
-                        conn.send({"ok": True})
-                        break
-                    try:
-                        questions, topk, depth, nprobe = req
-                        res = self.service.retrieve(questions, topk=topk, depth=depth, nprobe=nprobe)
-                        conn.send(res)
-                    except Exception as e:  # noqa: BLE001 — report, don't die
-                        logger.error("retrieval error: %s", traceback.format_exc())
-                        conn.send({"error": f"{type(e).__name__}: {e}"})
-            finally:
-                conn.close()
-        self._listener.close()
+            threading.Thread(
+                target=self._handle_conn, args=(conn,), daemon=True
+            ).start()
+        try:
+            self._listener.close()
+        except OSError:
+            pass
 
     def start_background(self) -> threading.Thread:
         t = threading.Thread(target=self.serve_forever, daemon=True)

@@ -156,6 +156,8 @@ def main():
     )
 
     path = f"/tmp/colbert_bench_idx_host_{args.docs}x{d_view}x{dim}_p{args.partitions}"
+    if args.gen == "device":
+        path += "_dgen"  # corpus provenance tag: device-gen != host-gen corpora
     t0 = time.time()
     if args.gen == "device":
         from bench import write_synthetic_parts_device

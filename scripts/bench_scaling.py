@@ -119,7 +119,7 @@ def main():
 
     import sys
     sys.path.insert(0, ".")
-    from bench import build_synthetic_index, exact_oracle_topk
+    from bench import build_synthetic_index
     from colbert_tpu.config import (
         ColbertConfig, IndexConfig, MeshConfig, ModelConfig, MultiviewConfig,
         ServeConfig, TokenizerConfig,

@@ -187,6 +187,52 @@ def test_service_evaluate(setup_service):
     assert metrics["recall@5"] == 1.0
 
 
+def test_pipelined_multi_batch_matches_sync(setup_service):
+    """A request spanning several batches flows through the async
+    search_tokens_device pipeline (inflight=3); results must equal the
+    synchronous per-batch loop exactly."""
+    service, _, _ = setup_service
+    from tests.test_end_to_end import corpus_texts
+
+    texts = corpus_texts(30)
+    queries = [texts[i] for i in range(9)]  # query_batch_size=4 -> 3 batches
+    assert service.cfg.serve.pipeline_inflight > 1
+    piped = service.retrieve(queries, topk=5)
+    assert len(piped) == 9
+    # synchronous reference: the same padded batches through searcher.search
+    bs = service.cfg.serve.query_batch_size
+    want = []
+    for lo in range(0, len(queries), bs):
+        chunk = queries[lo : lo + bs]
+        n_real = len(chunk)
+        res = service.searcher.search(chunk + [""] * (bs - n_real), topk=5)
+        for i in range(n_real):
+            want.append([int(p) for p in res.pids[i] if p >= 0])
+    got = [[pid for pid, _, _ in row] for row in piped]
+    assert got == want
+
+
+def test_concurrent_connections(setup_service):
+    """An idle open connection must not block other clients (the reference
+    serves strictly one connection at a time, dense_server_client.py:51-65)."""
+    from multiprocessing.connection import Client as MPClient
+
+    from colbert_tpu.serving import RetrievalClient
+
+    service, server, port = setup_service
+    first = MPClient(("127.0.0.1", port), authkey=b"test")  # held open, idle
+    try:
+        client = RetrievalClient(port=port, authkey=b"test")
+        res = client.retrieve(["apple fruit"], topk=2, depth=32, nprobe=8)
+        assert len(res) == 1 and len(res[0]) >= 1
+        # the held connection still works afterwards
+        first.send((["ocean wave"], 2, 32, 8))
+        out = first.recv()
+        assert isinstance(out, list) and len(out) == 1
+    finally:
+        first.close()
+
+
 def test_merge_and_submission():
     from colbert_tpu.evaluation.dureader import make_submission, merge_to_reader_input
 
