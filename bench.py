@@ -115,7 +115,8 @@ def write_synthetic_parts_device(path, num_docs, d_view, dim, seed=0,
         key, kc = jr.split(key)
         e = np.asarray(gen_chunk(kc))[: n * d_view]
         storage.write_part(p, e, [d_view] * n)
-        print(f"[gen] part {p + 1}/{parts} ({n} docs) written", flush=True)
+        print(f"[gen] part {p + 1}/{parts} ({n} docs) written",
+              file=sys.stderr, flush=True)
     storage.write_meta(
         {"dim": dim, "num_docs": num_docs, "num_embeddings": num_docs * d_view,
          "multiview": True, "d_view": d_view, "num_parts": parts,

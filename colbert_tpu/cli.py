@@ -223,9 +223,13 @@ def cmd_evaluate(args) -> None:
 
 
 def cmd_mine(args) -> None:
-    """Iterative hard-negative mining (``gen_iter_colbert_train_dev`` parity)."""
+    """Iterative hard-negative mining (``gen_iter_colbert_train_dev`` parity).
+
+    ``--distill-out``: also write CE distillation data from the same
+    retrieval pass (the retriever's top window WITH its scores,
+    :func:`gen_distill_data`) — one retrieval serves both recipes."""
     cfg = _load_cfg(args)
-    from colbert_tpu.evaluation import gen_iter_train_dev
+    from colbert_tpu.evaluation import gen_distill_data, gen_iter_train_dev
 
     service = _make_service(cfg, args)
     data = load_json(args.eval_data)
@@ -234,6 +238,13 @@ def cmd_mine(args) -> None:
         t["res"] = r
     dump_json(gen_iter_train_dev(data, keep_old=args.keep_old, top=args.topk), args.out)
     logger.info("wrote %s", args.out)
+    if args.distill_out:
+        dist = gen_distill_data(data, group=cfg.ce_train.distill_group)
+        dump_json(dist, args.distill_out)
+        logger.info(
+            "wrote %s (%d/%d questions kept: positive inside the top-%d window)",
+            args.distill_out, len(dist), len(data), cfg.ce_train.distill_group,
+        )
 
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -281,6 +292,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--topk", type=int, default=50)
     p.add_argument("--keep-old", type=int, default=10)
+    p.add_argument("--distill-out", default=None,
+                   help="also write CE distillation data (teacher-scored windows)")
     p.set_defaults(fn=cmd_mine)
 
     args = ap.parse_args(argv)

@@ -219,6 +219,16 @@ class CETrainConfig:
     # bi-encoder's backbone is the no-pretraining analogue — requires
     # ce_model and model to share the BERT shape.
     init_from_retriever: bool = False
+    # distill the bi-encoder into the CE (ColBERTv2-style): training
+    # examples carry ``res_scored`` = [[teacher_score, text], ...] (the
+    # retriever's own top-k scores, gen_distill_data) with the positive at
+    # column 0; loss = (1-w)*NLL + w*KL(teacher || student).  0 = off.
+    distill_weight: float = 0.0
+    # temperature applied to the TEACHER scores before softmax (MaxSim
+    # scores are ~[0, q_view]-scaled; 1.0 keeps them sharp)
+    distill_temperature: float = 1.0
+    # window size (1 + negatives) taken from res_scored per question
+    distill_group: int = 8
 
 
 @dataclass

@@ -35,18 +35,52 @@ def load_tsv_corpus(paths: Sequence[str | Path], text_col: int = 2, delimiter: s
     return out
 
 
+def _ctx_text(c: Any) -> str:
+    """Context -> text: training data stores contexts either as plain
+    strings or as DPR-style ``{"text": ...}`` dicts (the trainer accepts
+    both, so the mining generators must too)."""
+    return c["text"] if isinstance(c, dict) else c
+
+
 def gen_ce_data(examples: Iterable[Dict[str, Any]], top: int = 50) -> List[Dict[str, Any]]:
     """CE hard negatives: top-``top`` retrieval results minus positives.
     Each example carries ``res``: [(pid, score, text), ...]."""
     out = []
     for t in examples:
-        pos = set(t["positive_ctxs"])
+        pos = set(map(_ctx_text, t["positive_ctxs"]))
         negs = [r[2] for r in t["res"][:top] if r[2] not in pos]
         out.append(
             {
                 "question": t["question"],
-                "positive_ctxs": list(t["positive_ctxs"]),
+                "positive_ctxs": [_ctx_text(c) for c in t["positive_ctxs"]],
                 "hard_negative_ctxs": negs,
+            }
+        )
+    return out
+
+
+def gen_distill_data(
+    examples: Iterable[Dict[str, Any]], group: int = 8
+) -> List[Dict[str, Any]]:
+    """CE distillation data (ColBERTv2-style): per question, the retriever's
+    top-``group`` window WITH its scores (``res_scored`` =
+    [[teacher_score, text], ...]), positive moved to column 0 carrying its
+    own teacher score.  Questions whose window contains no positive are
+    dropped (the KL target needs an NLL anchor; the drop count is the
+    caller's to report)."""
+    out = []
+    for t in examples:
+        pos = set(map(_ctx_text, t["positive_ctxs"]))
+        window = [(float(r[1]), r[2]) for r in t["res"][:group]]
+        pos_idx = next((i for i, (_, x) in enumerate(window) if x in pos), None)
+        if pos_idx is None:
+            continue
+        window.insert(0, window.pop(pos_idx))
+        out.append(
+            {
+                "question": t["question"],
+                "positive_ctxs": [window[0][1]],
+                "res_scored": [[s, x] for s, x in window],
             }
         )
     return out
@@ -59,13 +93,13 @@ def gen_iter_train_dev(
     fresh top-``top`` retrievals not already kept."""
     out = []
     for t in examples:
-        old = list(t.get("hard_negative_ctxs", [])[:keep_old])
+        old = [_ctx_text(c) for c in t.get("hard_negative_ctxs", [])[:keep_old]]
         old_set = set(old)
         fresh = [r[2] for r in t["res"][:top] if r[2] not in old_set]
         out.append(
             {
                 "question": t["question"],
-                "positive_ctxs": list(t["positive_ctxs"]),
+                "positive_ctxs": [_ctx_text(c) for c in t["positive_ctxs"]],
                 "hard_negative_ctxs": old + fresh,
             }
         )

@@ -96,7 +96,10 @@ class IndexBuilder:
         pos = 0
         with self.timers.span("assign_encode"):
             for part in self.storage.part_ids():
-                embs = np.asarray(self.storage.read_part(part)).astype(np.float32)
+                # transfer at the stored width (fp16): host->device bandwidth
+                # dominates big builds on a tunnel-attached chip; every op
+                # below casts on device (bf16 matmul operands / fp32 encode)
+                embs = jnp.asarray(np.asarray(self.storage.read_part(part)))
                 if embs.shape[0] == 0:
                     continue
                 if balanced:

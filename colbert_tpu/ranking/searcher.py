@@ -457,14 +457,22 @@ class ColbertSearcher:
             # ever cross host->device, as int8 (4x less traffic than fp32)
             from colbert_tpu.ops.rerank_pallas import quantize_emb_table
 
-            if not self.uniform_doclen:
-                raise ValueError(
-                    "rerank_table='host' requires a uniform-doclen (multiview) corpus"
-                )
             q8, scale = quantize_emb_table(emb_np)
-            self.host_table = np.ascontiguousarray(
-                q8[: self.num_docs * self.rerank_cap].reshape(self.num_docs, -1)
-            )
+            if self.uniform_doclen:
+                # doc-major contiguous rows: one fancy-index per candidate
+                self.host_table = np.ascontiguousarray(
+                    q8[: self.num_docs * self.rerank_cap].reshape(self.num_docs, -1)
+                )
+                self.host_offsets = None
+            else:
+                # ragged-native, like the reference's flat CSR host tensor
+                # (colbert_ranker.py:61-73): candidate doc rows are gathered
+                # on host by offset+doclen and zero-masked on device
+                self.host_table = np.ascontiguousarray(q8)
+                self.host_offsets = np.asarray(
+                    IndexStorage.doc_offsets_from_doclens(doclens.tolist()), np.int64
+                )
+            self.host_doclens = doclens.astype(np.int32)
             self.emb_inv_scale = jnp.asarray(1.0 / scale, jnp.float32)
             self.emb_table = jnp.zeros((1, dim), jnp.bfloat16)  # unused placeholder
             self.packed_int8 = False
@@ -692,10 +700,10 @@ class ColbertSearcher:
         """Jitted exact MaxSim over host-gathered int8 candidate blocks."""
         dv = self.rerank_cap
 
-        def fn(Qm, qm, inv, cand, blocks):
+        def fn(Qm, qm, inv, cand, dl, blocks):
             B, hc = cand.shape
             D = blocks.reshape(B, hc, dv, -1).astype(jnp.bfloat16)
-            valid = (cand >= 0)[..., None] & jnp.ones((1, 1, dv), bool)
+            valid = (jnp.arange(dv)[None, None, :] < dl[..., None]) & (cand >= 0)[..., None]
             scores = maxsim_qd(
                 (Qm * inv).astype(jnp.bfloat16), D, qm.astype(jnp.bfloat16),
                 valid.astype(jnp.bfloat16),
@@ -739,11 +747,23 @@ class ColbertSearcher:
             # (the exact re-rank re-scores everything)
             order = np.argsort(cand_np, axis=1, kind="stable")
             cand_sorted = np.take_along_axis(cand_np, order, axis=1)
-            blocks = self.host_table[np.maximum(cand_sorted, 0).reshape(-1)]
+            safe = np.maximum(cand_sorted, 0)
+            if self.host_offsets is None:
+                blocks = self.host_table[safe.reshape(-1)]
+            else:
+                # ragged CSR gather: doc d's rows live at
+                # host_table[offsets[d] : offsets[d] + doclens[d]]; rows past
+                # the doclen gather junk that the device mask zeroes
+                cap = self.rerank_cap
+                idx = self.host_offsets[safe][..., None] + np.arange(cap)[None, None, :]
+                idx = np.minimum(idx, self.host_table.shape[0] - 1)
+                blocks = self.host_table[idx.reshape(-1)]
+            dl = self.host_doclens[safe]
             blocks = blocks.reshape(cand_np.shape[0], hc, -1)
         with self.timers.span("host_rerank"):
             ts, tp = self._search_fns[rkey](
-                Qm, qm, inv, jnp.asarray(cand_sorted), jnp.asarray(blocks)
+                Qm, qm, inv, jnp.asarray(cand_sorted), jnp.asarray(dl),
+                jnp.asarray(blocks),
             )
         return SearchResult(np.asarray(tp), np.asarray(ts))
 
@@ -812,7 +832,14 @@ class ColbertSearcher:
                     "search_brute_force with a host table this large would "
                     "materialize it on device; use ANN search"
                 )
-            D = jnp.asarray(self.host_table).reshape(self.num_docs, cap, -1)
+            if self.host_offsets is not None:  # ragged CSR host table
+                idx = self.host_offsets[:, None] + np.arange(cap)[None, :]
+                idx = np.minimum(idx[: self.num_docs], self.host_table.shape[0] - 1)
+                D = jnp.asarray(
+                    self.host_table[idx.reshape(-1)].reshape(self.num_docs, cap, -1)
+                )
+            else:
+                D = jnp.asarray(self.host_table).reshape(self.num_docs, cap, -1)
             D = D.astype(jnp.float32) * self.emb_inv_scale
         elif self.ragged_strides is not None:
             # oracle from the retained host copy (the serving path holds

@@ -77,12 +77,26 @@ class CETrainer:
 
     # ---- pair building (host) ----
 
-    def _build_pairs(self, examples: Sequence[Dict[str, Any]], mode: str) -> Tuple[np.ndarray, np.ndarray, int]:
+    def _build_pairs(
+        self, examples: Sequence[Dict[str, Any]], mode: str
+    ) -> Tuple[np.ndarray, np.ndarray, int, Optional[np.ndarray]]:
         c = self.cfg.ce_train
         pairs: List[Tuple[str, str]] = []
+        teacher: List[List[float]] = []
         group = 0
         for ex in examples:
             q = ex["question"]
+            if mode == "distill":
+                # bi-encoder distillation window (gen_distill_data): the
+                # retriever's top candidates WITH teacher scores, positive
+                # at column 0 — KL target + NLL anchor share one layout
+                win = [(float(s), x) for s, x in ex["res_scored"][: c.distill_group]]
+                while len(win) < c.distill_group:
+                    win.append(win[-1])
+                pairs += [(q, x) for _, x in win]
+                teacher.append([s for s, _ in win])
+                group = c.distill_group
+                continue
             if mode == "test":
                 cands = ex["retrieval_res"][: c.eval_topk]
                 pairs += [(q, p) for p in cands]
@@ -110,25 +124,37 @@ class CETrainer:
             pairs += [(q, pos)] + [(q, n) for n in chosen]
             group = 1 + neg_num
         enc = self.tok.encode_ce_pairs(pairs)
-        return enc.input_ids, enc.attention_mask, group
+        t = np.asarray(teacher, np.float32) if teacher else None
+        return enc.input_ids, enc.attention_mask, group, t
 
     # ---- jitted steps ----
 
     def _train_step_fn(self):
-        model, T = self.model, self.cfg.ce_train.score_temperature
-        accum = max(1, self.cfg.ce_train.grad_accum_steps)
+        c = self.cfg.ce_train
+        model, T = self.model, c.score_temperature
+        accum = max(1, c.grad_accum_steps)
+        w, Td = c.distill_weight, c.distill_temperature
 
-        def loss_for(params, rng, ids, attn, group):
+        def loss_for(params, rng, ids, attn, group, teacher):
             logits = model.apply(
                 {"params": params}, ids, attn, deterministic=False, rngs={"dropout": rng}
             )
             scores = logits.reshape(-1, group) / T
             labels = jnp.zeros((scores.shape[0],), jnp.int32)
-            return biencoder_nll_loss(scores, labels)
+            nll = biencoder_nll_loss(scores, labels)
+            if w <= 0:
+                return nll
+            # bi-encoder distillation (ColBERTv2-style): KL from the
+            # teacher's softmax over the same window, NLL anchor at col 0
+            from colbert_tpu.training.losses import kl_loss
 
-        def step(state: TrainState, rng, ids, attn, group):
+            return (1.0 - w) * nll + w * kl_loss(scores, teacher / Td)
+
+        def step(state: TrainState, rng, ids, attn, group, teacher):
             if accum == 1:
-                loss, grads = jax.value_and_grad(loss_for)(state.params, rng, ids, attn, group)
+                loss, grads = jax.value_and_grad(loss_for)(
+                    state.params, rng, ids, attn, group, teacher
+                )
                 return state.apply_gradients(grads=grads), loss
 
             # CE loss is a per-question softmax over its own (1+neg) row, so
@@ -138,14 +164,16 @@ class CETrainer:
 
             def body(carry, inp):
                 gacc, lacc, i = carry
-                mids, mattn = inp
+                mids, mattn, mt = inp
                 loss, grads = jax.value_and_grad(loss_for)(
-                    state.params, jax.random.fold_in(rng, 100 + i), mids, mattn, group
+                    state.params, jax.random.fold_in(rng, 100 + i), mids, mattn, group, mt
                 )
                 return (jax.tree.map(jnp.add, gacc, grads), lacc + loss, i + 1), None
 
             zeros = jax.tree.map(jnp.zeros_like, state.params)
-            (gsum, lsum, _), _ = jax.lax.scan(body, (zeros, 0.0, 0), (micro(ids), micro(attn)))
+            (gsum, lsum, _), _ = jax.lax.scan(
+                body, (zeros, 0.0, 0), (micro(ids), micro(attn), micro(teacher))
+            )
             grads = jax.tree.map(lambda g: g / accum, gsum)
             return state.apply_gradients(grads=grads), lsum / accum
 
@@ -219,10 +247,16 @@ class CETrainer:
                     gstep += 1
                     continue
                 self.np_rng = np.random.default_rng((c.seed, gstep))
-                ids, attn, group = self._build_pairs([train_ds[i] for i in idxs], "train")
+                mode = "distill" if c.distill_weight > 0 else "train"
+                ids, attn, group, teacher = self._build_pairs(
+                    [train_ds[i] for i in idxs], mode
+                )
+                if teacher is None:
+                    teacher = np.zeros((ids.shape[0] // group, group), np.float32)
                 rng = jax.random.fold_in(self.rng, gstep)
                 self.state, loss = train_step(
-                    self.state, rng, put_global(ids, bs2), put_global(attn, bs2), group
+                    self.state, rng, put_global(ids, bs2), put_global(attn, bs2),
+                    group, put_global(teacher, bs2),
                 )
                 gstep += 1
                 loss_f = float(loss)
@@ -270,7 +304,7 @@ class CETrainer:
         bs = max(1, self.cfg.ce_train.per_device_batch_size * self.mesh.shape["data"])
         for s in range(0, len(dev_ds), bs):
             exs = [dev_ds[i] for i in range(s, min(len(dev_ds), s + bs))]
-            ids, attn, group = self._build_pairs(exs, "dev")
+            ids, attn, group, _ = self._build_pairs(exs, "dev")
             logits = np.asarray(score_fn(self.state.params, jnp.asarray(ids), jnp.asarray(attn)))
             scores = logits.reshape(len(exs), group)
             ranks = (np.argsort(-scores, axis=1) == 0).argmax(axis=1)

@@ -56,13 +56,15 @@ def build_data(workdir: str, max_entries: int, num_negatives: int, seed: int = 0
           f"vocab {len(vocab)}, {time.time()-t0:.0f}s", flush=True)
 
 
-def write_config(workdir: str, on_tpu: bool, fast: bool = False):
+def write_config(workdir: str, on_tpu: bool, fast: bool = False,
+                 hidden: int = 256, layers: int = 4, heads: int = 4):
     import yaml
 
     conf = {
         # BERT-small from scratch: trainable on one chip in minutes/epoch
-        "model": {"vocab_size": 30592, "hidden_size": 256, "num_layers": 4,
-                  "num_heads": 4, "intermediate_size": 1024,
+        # (hidden/layers/heads exposed for the capacity ablation)
+        "model": {"vocab_size": 30592, "hidden_size": hidden, "num_layers": layers,
+                  "num_heads": heads, "intermediate_size": 4 * hidden,
                   "max_position_embeddings": 256, "dim": 128,
                   "dtype": "bfloat16" if on_tpu else "float32"},
         "multiview": {"enabled": True, "q_view": 8, "d_view": 8},
@@ -103,6 +105,9 @@ def main():
     ap.add_argument("--vocab", default="charword", choices=("charword", "wordpiece"))
     ap.add_argument("--fast", action="store_true",
                     help="doc-length buckets + length-grouped batches + byte dropout")
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=4)
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -112,7 +117,8 @@ def main():
     if start <= 0:
         build_data(args.workdir, args.max_entries, args.num_negatives,
                    vocab_kind=args.vocab)
-    conf = write_config(args.workdir, on_tpu, fast=args.fast)
+    conf = write_config(args.workdir, on_tpu, fast=args.fast,
+                        hidden=args.hidden, layers=args.layers, heads=args.heads)
 
     from colbert_tpu.cli import main as cli
 

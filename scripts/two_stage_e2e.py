@@ -34,7 +34,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/colbert_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 STAGES = ("data", "train", "eval_base", "mine", "retrain", "eval_mined",
-          "train_ce", "eval_ce")
+          "train_ce", "eval_ce", "train_ce_distill", "eval_ce_distill")
 
 
 def write_config(workdir: str, on_tpu: bool, mined: bool) -> str:
@@ -146,6 +146,7 @@ def main():
     corpus_json = os.path.join(args.workdir, "corpus.json")
     mined_json = os.path.join(args.workdir, "train_iter1.json")
     ce_json = os.path.join(args.workdir, "train_ce.json")
+    distill_json = os.path.join(args.workdir, "train_ce_distill.json")
 
     def run(stage, fn):
         if start > STAGES.index(stage):
@@ -169,7 +170,9 @@ def main():
 
     run("mine", lambda: cli(
         ["mine", "--config", conf, "--eval-data", train_json, "--corpus", corpus_json,
-         "--out", mined_json, "--topk", "50", "--keep-old", "10"]))
+         "--out", mined_json, "--topk", "50", "--keep-old", "10",
+         "--distill-out", distill_json,
+         "--set", "ce_train.distill_group=8"]))
 
     run("retrain", lambda: cli(
         ["train", "--config", conf2, "--train-data", mined_json, "--dev-data", dev_json] + sets))
@@ -198,6 +201,26 @@ def main():
              "--topk", "100", "--rerank-ce",
              "--out", os.path.join(args.workdir, "metrics_ce.json")]),
         record("retriever+mining+ce", os.path.join(args.workdir, "metrics_ce.json"))))
+
+    # --- CE distillation variant (round 4, VERDICT r3 item 9): train the CE
+    # against the bi-encoder's own top-window scores (KL + NLL anchor) and
+    # rerank with it.  Checkpoints go to a separate dir so both CEs survive.
+    distill_sets = ["--set", "ce_train.distill_weight=0.5",
+                    "--set", "ce_train.distill_group=8",
+                    "--set", f"ce_train.checkpoint_dir={os.path.join(args.workdir, 'ckpt_ce_distill')}"]
+    if args.ce_epochs:
+        distill_sets += ["--set", f"ce_train.num_epochs={args.ce_epochs}"]
+
+    run("train_ce_distill", lambda: cli(
+        ["train-ce", "--config", conf2, "--train-data", distill_json,
+         "--dev-data", dev_json] + distill_sets))
+
+    run("eval_ce_distill", lambda: (
+        cli(["evaluate", "--config", conf2, "--eval-data", dev_json, "--corpus", corpus_json,
+             "--topk", "100", "--rerank-ce",
+             "--set", f"ce_train.checkpoint_dir={os.path.join(args.workdir, 'ckpt_ce_distill')}",
+             "--out", os.path.join(args.workdir, "metrics_ce_distill.json")]),
+        record("retriever+mining+ce_distill", os.path.join(args.workdir, "metrics_ce_distill.json"))))
 
     print(json.dumps(results, indent=2))
 

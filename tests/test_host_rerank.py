@@ -98,6 +98,55 @@ class TestHostRerank:
         o_hbm = s_hbm.search_brute_force(["piano music"], topk=5)
         np.testing.assert_allclose(o_host.scores, o_hbm.scores, rtol=3e-2, atol=3e-2)
 
+    def test_ragged_corpus_matches_hbm(self, tmp_path, mesh8):
+        """Round 4: the host table is ragged-native (the reference's CSR
+        flat tensor, colbert_ranker.py:61-73) — non-multiview corpora with
+        varying doclens serve through the same funnel."""
+        from tests.test_ragged_rerank import ragged_corpus_texts
+
+        texts = ragged_corpus_texts(120)
+        vp = write_vocab(build_vocab(texts + TOPICS, max_size=4000), tmp_path / "v.txt")
+        cfg = ColbertConfig(
+            model=ModelConfig(vocab_size=4096, hidden_size=32, num_layers=1,
+                              num_heads=2, intermediate_size=64,
+                              max_position_embeddings=96, dim=128, dtype="float32"),
+            multiview=MultiviewConfig(enabled=False),
+            tokenizer=TokenizerConfig(vocab_path=str(vp), query_maxlen=16, doc_maxlen=48),
+            index=IndexConfig(codec="sq", sq_dim=8, partitions=8, kmeans_iters=5, num_parts=2),
+            # funnel == candidate budget: the host path then reranks exactly
+            # the hbm path's candidate set (a NARROWER funnel is correct but
+            # drops docs a random-init model's approx score misranks)
+            serve=ServeConfig(nprobe=8, candidate_depth=64, topk=5, max_candidates=128,
+                              rerank_table="host", host_rerank_candidates=128,
+                              rerank_kernel="xla"),
+            mesh=MeshConfig(data=4, model=2),
+        )
+        tok = ColbertTokenizer(cfg.tokenizer, cfg.multiview)
+        model = ColbertModel(cfg.model, cfg.multiview)
+        ids = jnp.zeros((1, 16), jnp.int32)
+        params = model.init(jax.random.PRNGKey(7), ids, jnp.ones_like(ids),
+                            jnp.zeros((1, 48), jnp.int32), jnp.ones((1, 48), jnp.int32))["params"]
+        storage = CollectionEncoder(cfg, tok, params, mesh=mesh8).encode_corpus(
+            texts, str(tmp_path / "idx"), batch_size=8
+        )
+        IndexBuilder(cfg, storage).build(chunk=256)
+
+        s_host = ColbertSearcher(cfg, tok, params, storage, mesh=mesh8)
+        assert s_host.host_offsets is not None  # CSR, not padded
+        assert s_host.host_table.shape[0] == int(np.asarray(storage.read_doclens()).sum())
+        cfg_hbm = dataclasses.replace(
+            cfg, serve=dataclasses.replace(cfg.serve, rerank_table="hbm")
+        )
+        s_hbm = ColbertSearcher(cfg_hbm, tok, params, storage, mesh=mesh8)
+        queries = ["apple fruit", "piano music", "river water"]
+        a = s_hbm.search(queries, topk=5)
+        b = s_host.search(queries, topk=5)
+        np.testing.assert_allclose(b.scores, a.scores, rtol=3e-2, atol=3e-2)
+        # brute-force oracles agree too (exercises the ragged host gather)
+        o_host = s_host.search_brute_force(["piano music"], topk=5)
+        o_hbm = s_hbm.search_brute_force(["piano music"], topk=5)
+        np.testing.assert_allclose(o_host.scores, o_hbm.scores, rtol=3e-2, atol=3e-2)
+
     def test_device_path_rejected(self, tmp_path, mesh8):
         texts = corpus_texts(40)
         cfg, tok, params, storage = _build(

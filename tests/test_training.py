@@ -158,6 +158,42 @@ def test_ce_train_smoke(tiny_cfg, tokenizer, mesh8):
     assert len(order) == 3
 
 
+def test_ce_distillation(tiny_cfg, tokenizer, mesh8):
+    """Bi-encoder -> CE distillation (round 4): gen_distill_data builds the
+    teacher window (positive at col 0), and the KL+NLL loss trains."""
+    import dataclasses
+
+    from colbert_tpu.evaluation import gen_distill_data
+    from colbert_tpu.training import CETrainer
+
+    # synthetic retrieval results: positive ranked 2nd with teacher scores
+    exs = []
+    for i, base in enumerate(make_examples(8)):
+        pos = base["positive_ctxs"][0]
+        negs = base["hard_negative_ctxs"]
+        res = [(10, 3.1, negs[0]), (11, 2.9, pos), (12, 2.0, negs[1]),
+               (13, 1.5, negs[2])]
+        exs.append({**base, "res": res})
+    dist = gen_distill_data(exs, group=4)
+    assert len(dist) == 8
+    assert dist[0]["res_scored"][0][1] == exs[0]["positive_ctxs"][0]  # col 0
+    assert dist[0]["res_scored"][0][0] == pytest.approx(2.9)  # its own score
+    # a window without the positive is dropped
+    no_pos = [{**exs[0], "res": [(9, 1.0, "unrelated junk")] }]
+    assert gen_distill_data(no_pos, group=4) == []
+
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        ce_train=dataclasses.replace(
+            tiny_cfg.ce_train, distill_weight=0.5, distill_group=4,
+            checkpoint_dir=tiny_cfg.ce_train.checkpoint_dir + "_distill",
+        ),
+    )
+    trainer = CETrainer(cfg, tokenizer, mesh=mesh8)
+    losses = trainer.train(RetrievalDataset(dist), num_epochs=2)
+    assert len(losses) >= 2 and np.isfinite(losses).all()
+
+
 def test_ce_warm_start_from_retriever(tiny_cfg, tokenizer, mesh8):
     """init_params={'bert': ...} grafts the retriever's encoder into the CE
     (the no-pretraining analogue of the reference's macbert backbone)."""
