@@ -51,15 +51,16 @@ class RetrievalService:
         self.cfg = cfg or searcher.cfg
 
     def _rows(self, pids, scores, n_real) -> List[List[Triple]]:
-        out: List[List[Triple]] = []
-        for i in range(n_real):
-            row: List[Triple] = []
-            for pid, score in zip(pids[i], scores[i]):
-                if pid < 0:
-                    continue
-                row.append((int(pid), float(score), self.corpus[int(pid)]))
-            out.append(row)
-        return out
+        # one bulk ndarray->python conversion (tolist), then pure-python
+        # assembly: ~6x fewer per-element numpy scalar conversions than a
+        # per-(pid, score) loop at batch 144 x topk 100
+        pl = pids[:n_real].tolist()
+        sl = scores[:n_real].tolist()
+        corpus = self.corpus
+        return [
+            [(p, s, corpus[p]) for p, s in zip(prow, srow) if p >= 0]
+            for prow, srow in zip(pl, sl)
+        ]
 
     def retrieve(
         self,
