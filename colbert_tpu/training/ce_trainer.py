@@ -273,6 +273,11 @@ class CETrainer:
                         logger.info("ce step %d %s", gstep, metrics)
                     self.log.append({"step": gstep, "loss": loss_f, **metrics})
                     self.save(gstep, metrics)
+        if gstep > start_step and self.ckpt.latest_step() != gstep:
+            # final save: short runs (or tiny distill sets) can end between
+            # eval-cadence saves and would otherwise leave no checkpoint for
+            # the rerank stage
+            self.save(gstep, {})
         self._dump_log()
         return logs
 
