@@ -374,24 +374,28 @@ class ShardedColbertSearcher:
         return self.search_tokens(enc.input_ids, enc.attention_mask, enc.active_mask,
                                   topk=topk, nprobe=nprobe, depth=depth, query_chunk=query_chunk)
 
-    def search_tokens(self, q_ids, q_attn, q_active, topk=None, nprobe=None, depth=None, query_chunk: int = 8) -> SearchResult:
+    def search_tokens_device(self, q_ids, q_attn, q_active, topk=None,
+                             nprobe=None, depth=None, query_chunk: int = 8):
+        """Async path: returns (scores, pids) DEVICE arrays without
+        synchronizing — same contract as
+        :meth:`ColbertSearcher.search_tokens_device`, so the pipelined
+        serving service works over a sharded corpus unchanged."""
         s = self.cfg.serve
         topk = topk or s.topk
+        inv = (
+            self.emb_inv_scale
+            if self.emb_inv_scale is not None
+            else jnp.ones((1,), jnp.float32)
+        )
         if self.flat_dv is not None:
             key = ("flat", topk)
             if key not in self._fns:
                 self._fns[key] = self._make_flat_fn(topk)
-            inv = (
-                self.emb_inv_scale
-                if self.emb_inv_scale is not None
-                else jnp.ones((1,), jnp.float32)
-            )
-            ts, tp = self._fns[key](
+            return self._fns[key](
                 self.params, self.arrays,
                 (jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active)),
                 inv,
             )
-            return SearchResult(np.asarray(tp), np.asarray(ts))
         nprobe = min(nprobe or s.nprobe, int(self.coarse.shape[0]))
         depth = depth or s.candidate_depth
         cap = self.max_list_len
@@ -399,13 +403,14 @@ class ShardedColbertSearcher:
         key = (topk, nprobe, depth, cap, max_cand, query_chunk)
         if key not in self._fns:
             self._fns[key] = self._make_fn(*key)
-        inv = (
-            self.emb_inv_scale
-            if self.emb_inv_scale is not None
-            else jnp.ones((1,), jnp.float32)
-        )
-        ts, tp = self._fns[key](
+        return self._fns[key](
             self.params, self.coarse, self.quant, self.arrays,
             (jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active)), inv,
+        )
+
+    def search_tokens(self, q_ids, q_attn, q_active, topk=None, nprobe=None, depth=None, query_chunk: int = 8) -> SearchResult:
+        ts, tp = self.search_tokens_device(
+            q_ids, q_attn, q_active, topk=topk, nprobe=nprobe, depth=depth,
+            query_chunk=query_chunk,
         )
         return SearchResult(np.asarray(tp), np.asarray(ts))

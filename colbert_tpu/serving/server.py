@@ -79,8 +79,9 @@ class RetrievalService:
         out: List[List[Triple]] = []
         bs = s.query_batch_size
         # the host-table mode synchronizes mid-query (host gather); it keeps
-        # the simple synchronous per-batch loop
-        pipelined = self.searcher.host_table is None
+        # the simple synchronous per-batch loop.  getattr: the sharded
+        # searcher has no host-table mode and pipelines unconditionally.
+        pipelined = getattr(self.searcher, "host_table", None) is None
         inflight = max(1, s.pipeline_inflight) if pipelined else 1
         pending: deque = deque()
 

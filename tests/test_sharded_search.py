@@ -43,6 +43,30 @@ def test_sharded_matches_oracle(setup, mesh8):
     assert recall >= 0.8, (recall, got.pids, oracle.pids)
 
 
+def test_sharded_device_path_and_service(setup, mesh8):
+    """search_tokens_device returns unsynchronized device arrays equal to
+    the sync path, and RetrievalService pipelines over a SHARDED searcher
+    (round 4: the async serving contract is backend-agnostic)."""
+    from colbert_tpu.ranking.sharded import ShardedColbertSearcher
+    from colbert_tpu.serving import RetrievalService
+
+    cfg, tok, params, storage, searcher, texts = setup
+    sharded = ShardedColbertSearcher(cfg, tok, params, storage, mesh=mesh8, rerank_dtype=jnp.float32)
+    queries = ["apple fruit", "ocean wave", "piano music", "forest tree"]
+    enc = tok.encode_queries(queries)
+    sync = sharded.search_tokens(enc.input_ids, enc.attention_mask, enc.active_mask, topk=5)
+    ts, tp = sharded.search_tokens_device(enc.input_ids, enc.attention_mask, enc.active_mask, topk=5)
+    np.testing.assert_array_equal(np.asarray(tp), sync.pids)
+    np.testing.assert_allclose(np.asarray(ts), sync.scores, rtol=1e-6)
+
+    service = RetrievalService(sharded, texts, cfg)
+    rows = service.retrieve(queries, topk=5)
+    assert len(rows) == 4
+    got = [[pid for pid, _, _ in r] for r in rows]
+    want = [[int(p) for p in sync.pids[i] if p >= 0] for i in range(4)]
+    assert got == want
+
+
 def test_sharded_consistent_with_single(setup, mesh8):
     """Sharded candidate generation is a superset per shard; the sharded
     merge must attain the single-chip searcher's top scores.
