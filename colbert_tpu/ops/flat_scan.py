@@ -257,9 +257,17 @@ def build_flat_table(
     elif dtype == "raw":
         src = emb
         np_dtype = np.asarray(emb[:1]).dtype
+    elif dtype == "bfloat16":
+        import ml_dtypes
+
+        # native bf16 rows: half the host RAM and no fp32 detour (at 500k
+        # multiview docs the fp32 intermediate was 24.6 GB and minutes of
+        # single-core conversion); fp16->bf16 rounds identically via fp32
+        src = emb
+        np_dtype = ml_dtypes.bfloat16
     else:
         src = emb
-        np_dtype = {"bfloat16": np.float32, "float32": np.float32}[dtype]
+        np_dtype = np.float32
 
     rb = rows_blk or pick_rows_block(dv, 1 if np_dtype == np.int8 else 2)
     docs_pad = _ceil_to(max(num_docs, 1) * dv, rb) // dv

@@ -32,7 +32,11 @@ timeout 5400 python scripts/bench_scaling.py --gen device --codec pq4 \
 echo "pq4 200k rc=$?" >> $L
 
 # 7. Beyond-HBM datapoint (VERDICT item 4): 1.4M x 16 x 768 — int8 host
-#    table 17.2 GB > 16 GB HBM; candidate codes stay in HBM (1.4 GB)
+#    table 17.2 GB > 16 GB HBM; candidate codes stay in HBM (1.4 GB).
+#    Corpus = the cached 1M flat corpus + 0.4M appended parts (hardlinks).
+python scripts/extend_corpus.py \
+  /tmp/colbert_bench_idx_sq_1000000x16x768_p0_b0.0_sq64_m64_noivf_dgen \
+  /tmp/colbert_bench_idx_host_1400000x16x768_p8192_dgen 1400000 >> $L 2>&1
 timeout 10800 python scripts/bench_host_table.py --docs 1400000 \
   --partitions 8192 --iters 5 \
   > /tmp/r4_host_table.json 2>>$L
