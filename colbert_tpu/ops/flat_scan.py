@@ -190,34 +190,46 @@ def flat_topk(
     segment: int = 1 << 17,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact per-query top-k over the doc axis, segmented so the transposed
-    transient stays small: global top-k ⊆ union of per-segment top-k."""
+    transient stays small: global top-k ⊆ union of per-segment top-k.
+
+    The pad-doc mask is applied PER SEGMENT inside the loop — a global
+    ``where``/``pad`` of the (docs_pad, B) fp32 score matrix would
+    materialize two extra copies (~1 GB each at 1M docs x 256 lanes), which
+    is exactly what pushed the 1M-doc int8 table over a v5e's HBM."""
     docs_pad, B = scores_db.shape
     k = min(topk, num_docs)
-    valid = jnp.arange(docs_pad) < num_docs
-    s = jnp.where(valid[:, None], scores_db, -jnp.inf)
     if docs_pad <= segment:
+        valid = jnp.arange(docs_pad) < num_docs
+        s = jnp.where(valid[:, None], scores_db, -jnp.inf)
         ts, ti = jax.lax.top_k(s.T, k)                  # (B, k)
         return ts, ti.astype(jnp.int32)
-    n_seg = -(-docs_pad // segment)
-    pad = n_seg * segment - docs_pad
-    if pad:
-        s = jnp.pad(s, ((0, pad), (0, 0)), constant_values=-jnp.inf)
 
-    def seg(i, carry):
+    def merge(carry, blk, start):
         ts0, ti0 = carry                                # (B, k) running
-        blk = jax.lax.dynamic_slice(s, (i * segment, 0), (segment, B))
-        ts1, ti1 = jax.lax.top_k(blk.T, k)
-        ti1 = ti1 + i * segment
+        rows = start + jnp.arange(blk.shape[0])
+        blk = jnp.where((rows < num_docs)[:, None], blk, -jnp.inf)
+        ts1, ti1 = jax.lax.top_k(blk.T, min(k, blk.shape[0]))
+        ti1 = ti1 + start
         cs = jnp.concatenate([ts0, ts1], axis=1)
         ci = jnp.concatenate([ti0, ti1], axis=1)
         ts2, sel = jax.lax.top_k(cs, k)
         return ts2, jnp.take_along_axis(ci, sel, axis=1)
 
+    n_full = docs_pad // segment
+    tail = docs_pad - n_full * segment
+
+    def seg(i, carry):
+        blk = jax.lax.dynamic_slice(scores_db, (i * segment, 0), (segment, B))
+        return merge(carry, blk, i * segment)
+
     init = (
         jnp.full((B, k), -jnp.inf, jnp.float32),
         jnp.zeros((B, k), jnp.int32),
     )
-    ts, ti = jax.lax.fori_loop(0, n_seg, seg, init)
+    ts, ti = jax.lax.fori_loop(0, n_full, seg, init)
+    if tail:
+        # static tail slice: no full-matrix pad, no overlapping windows
+        ts, ti = merge((ts, ti), scores_db[n_full * segment :], n_full * segment)
     return ts, ti.astype(jnp.int32)
 
 

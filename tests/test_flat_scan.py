@@ -94,3 +94,9 @@ def test_flat_topk_segmented_matches_direct():
     np.testing.assert_allclose(np.asarray(ts_d), np.asarray(ts_s), rtol=1e-6)
     assert (np.asarray(ti_d) == np.asarray(ti_s)).mean() > 0.99  # ties only
     assert int(np.asarray(ti_d).max()) < num_docs
+    # num_docs ending INSIDE a full segment: the per-segment mask (round-4
+    # no-copy path) must drop pad docs there too
+    ts_d2, ti_d2 = flat_topk(s, 300, k, segment=1 << 17)
+    ts_s2, ti_s2 = flat_topk(s, 300, k, segment=128)
+    np.testing.assert_allclose(np.asarray(ts_d2), np.asarray(ts_s2), rtol=1e-6)
+    assert int(np.asarray(ti_s2).max()) < 300
