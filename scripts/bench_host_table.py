@@ -102,6 +102,11 @@ def host_oracle(searcher, Qm, topk, chunk_docs=65536):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_400_000)
+    ap.add_argument("--balance-factor", type=float, default=1.3,
+                    help="balanced k-means cap (ceil(mean*factor)); at 22M+ "
+                         "vectors an UNBALANCED build's max list inflates the "
+                         "hot-list scan's per-block SMEM meta past the 1 MB "
+                         "SMEM (measured: maxb~285 -> 4.6 MB operand)")
     ap.add_argument("--partitions", type=int, default=8192,
                     help="auto formula gives 32768 at 22.4M vectors; 8192 "
                          "keeps the one-off build tractable on the single "
@@ -147,7 +152,8 @@ def main():
         multiview=MultiviewConfig(enabled=True, q_view=q_view, d_view=d_view),
         tokenizer=TokenizerConfig(vocab_path="unused", query_maxlen=32, doc_maxlen=384),
         index=IndexConfig(codec="sq", sq_dim=64 if on_tpu else 8, kmeans_iters=10,
-                          partitions=args.partitions),
+                          partitions=args.partitions,
+                          balance_factor=args.balance_factor),
         serve=ServeConfig(nprobe=nprobe, candidate_depth=depth, topk=topk,
                           max_candidates=4096 if on_tpu else 256,
                           rerank_table="host",
@@ -155,7 +161,7 @@ def main():
         mesh=MeshConfig(data=-1, model=1),
     )
 
-    path = f"/tmp/colbert_bench_idx_host_{args.docs}x{d_view}x{dim}_p{args.partitions}"
+    path = f"/tmp/colbert_bench_idx_host_{args.docs}x{d_view}x{dim}_p{args.partitions}_b{args.balance_factor}"
     if args.gen == "device":
         path += "_dgen"  # corpus provenance tag: device-gen != host-gen corpora
     t0 = time.time()
@@ -204,6 +210,23 @@ def main():
         res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
         lat.append(time.perf_counter() - t0)
     spans = {k: round(v * 1e3 / args.iters, 1) for k, v in searcher.timers.totals.items()}
+
+    # emit the QPS record BEFORE the (minutes-long) oracle stream so a
+    # wall-clock kill still leaves the datapoint on stdout
+    p50 = float(np.median(lat))
+    pre = {
+        "docs": args.docs, "vectors": args.docs * d_view,
+        "host_table_GB": round(searcher.host_table.nbytes / 1e9, 1),
+        "codes_GB": round(int(np.asarray(searcher.codes).nbytes) / 1e9, 2),
+        "partitions": args.partitions,
+        "host_candidates": args.host_candidates,
+        "p50_ms": round(p50 * 1e3, 1),
+        "qps": round(args.batch / p50, 1),
+        "recall@100_vs_exact": None,
+        "stage_ms_per_batch": {k: round(v * 1e3 / args.iters, 1)
+                               for k, v in searcher.timers.totals.items()},
+    }
+    print(json.dumps(pre), flush=True)
 
     recall = None
     if not args.skip_oracle:
