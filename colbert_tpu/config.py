@@ -33,9 +33,14 @@ def _from_dict(cls, data: Dict[str, Any]):
         target = _DATACLASS_FIELDS.get((cls, name))
         if target is not None and isinstance(value, dict):
             kwargs[name] = _from_dict(target, value)
+        elif ftype in ("float", float) and isinstance(value, str):
+            # YAML 1.1 parses dot-less exponents ("1e-3") as STRINGS; a raw
+            # string would surface as a cryptic optax TypeError mid-train
+            kwargs[name] = float(value)
+        elif ftype in ("int", int) and isinstance(value, str):
+            kwargs[name] = int(value)
         else:
             kwargs[name] = value
-        del ftype
     return cls(**kwargs)
 
 
@@ -290,6 +295,16 @@ class ServeConfig:
     # flat mode: rows per kernel grid step (0 = auto ~1024); must divide the
     # padded table and hold whole docs.  Exposed for block-size sweeps.
     flat_rows_block: int = 0
+    # flat mode: fused two-stage top-k — the scan kernel also emits per-grid-
+    # step group maxima, and selection reads only the winning groups' scores
+    # (exact: a top-k doc's group max bounds its score, so top-k groups cover
+    # the top-k docs).  Replaces the full-matrix flat_topk merge loops
+    # (~0.6 GB of working set + the dominant selection cost at 1M docs).
+    flat_fused_topk: bool = True
+    # flat mode, fused path: stored score dtype.  "auto" = float32 below
+    # 256k docs (tie-exact headline), bfloat16 above (halves the score
+    # matrix — the memory that capped the 1M-doc per-chip envelope).
+    flat_score_dtype: str = "auto"
     nprobe: int = 128
     candidate_depth: int = 512        # a.k.a. faiss_depth
     topk: int = 100
@@ -427,6 +442,11 @@ class ColbertConfig:
         if self.serve.mode not in ("ann", "flat"):
             raise ValueError(
                 f"serve.mode must be 'ann' or 'flat', got {self.serve.mode!r}"
+            )
+        if self.serve.flat_score_dtype not in ("auto", "float32", "bfloat16"):
+            raise ValueError(
+                f"serve.flat_score_dtype must be 'auto', 'float32' or "
+                f"'bfloat16', got {self.serve.flat_score_dtype!r}"
             )
 
     # ---- (de)serialization ----

@@ -31,13 +31,22 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         try:
             if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-                cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)]
+                # -fno-trapping-math/-fno-math-errno: lets GCC vectorize the
+                # rintf/fabsf loops (roundps/vmaxps); rounding semantics are
+                # unchanged (still nearest-even), only FP traps/errno are not
+                cmd = ["g++", "-O3", "-march=native", "-funroll-loops",
+                       "-fno-trapping-math", "-fno-math-errno",
+                       "-shared", "-fPIC", str(_SRC), "-o", str(_SO)]
                 subprocess.run(cmd, check=True, capture_output=True)
                 logger.info("built native library: %s", _SO.name)
             lib = ctypes.CDLL(str(_SO))
             lib.ivf_pack.restype = ctypes.c_int
             lib.compact_active.restype = ctypes.c_int
             lib.balanced_assign.restype = ctypes.c_int
+            lib.f16_absmax.restype = ctypes.c_int
+            lib.f16_quantize_i8.restype = ctypes.c_int
+            lib.f16_to_bf16.restype = ctypes.c_int
+            lib.pickle_triples.restype = ctypes.c_int64
             _lib = lib
         except (OSError, subprocess.CalledProcessError) as e:
             logger.warning("native build unavailable, using numpy fallbacks: %s", e)
@@ -104,6 +113,93 @@ def compact_active(embs_f16: np.ndarray, active: np.ndarray) -> Tuple[np.ndarray
     if rc != 0:
         raise ValueError(f"compact_active failed: {rc}")
     return flat, doclens
+
+
+def f16_absmax_into(chunk_f16: np.ndarray, amax: np.ndarray) -> bool:
+    """Accumulate per-dim |max| of an fp16 chunk into ``amax`` (fp32).
+    Returns False (untouched) when the native lib is unavailable."""
+    lib = _load()
+    if lib is None or chunk_f16.dtype != np.float16:
+        return False
+    chunk_f16 = np.ascontiguousarray(chunk_f16)
+    n, dim = chunk_f16.shape
+    rc = lib.f16_absmax(
+        chunk_f16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_int64(n), ctypes.c_int64(dim),
+        amax.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise ValueError(f"f16_absmax failed: {rc}")
+    return True
+
+
+def f16_quantize_i8_into(chunk_f16: np.ndarray, scale: np.ndarray, out_i8: np.ndarray) -> bool:
+    """out_i8[:] = clip(rint(chunk * scale), -127, 127), hardware-f16 fast
+    path.  Returns False when unavailable (caller uses the numpy path)."""
+    lib = _load()
+    if lib is None or chunk_f16.dtype != np.float16:
+        return False
+    chunk_f16 = np.ascontiguousarray(chunk_f16)
+    n, dim = chunk_f16.shape
+    rc = lib.f16_quantize_i8(
+        chunk_f16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_int64(n), ctypes.c_int64(dim),
+        scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_i8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    if rc != 0:
+        raise ValueError(f"f16_quantize_i8 failed: {rc}")
+    return True
+
+
+def f16_to_bf16_into(chunk_f16: np.ndarray, out_bf16_u16: np.ndarray) -> bool:
+    """fp16 -> bf16 (round-to-nearest-even via fp32; ml_dtypes semantics)
+    into a uint16-viewed output buffer.  Returns False when unavailable."""
+    lib = _load()
+    if lib is None or chunk_f16.dtype != np.float16:
+        return False
+    chunk_f16 = np.ascontiguousarray(chunk_f16)
+    rc = lib.f16_to_bf16(
+        chunk_f16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_int64(chunk_f16.size),
+        out_bf16_u16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc != 0:
+        raise ValueError(f"f16_to_bf16 failed: {rc}")
+    return True
+
+
+def pickle_triples(pids: np.ndarray, scores: np.ndarray, num_pids: int,
+                   text_blob: np.ndarray, text_off: np.ndarray) -> Optional[np.ndarray]:
+    """Assemble the pickle-protocol body for one batch of (pid, score, text)
+    response rows (see ivf_pack.cpp docstring).  Returns None when the
+    native lib is unavailable (caller uses the Python assembler)."""
+    lib = _load()
+    if lib is None:
+        return None
+    pids = np.ascontiguousarray(pids, np.int32)
+    scores = np.ascontiguousarray(scores, np.float32)
+    nq, k = pids.shape
+    valid = pids >= 0
+    cap = (
+        3 * nq + 14 * int(valid.sum())
+        + int((text_off[np.where(valid, pids, 0) + 1] - text_off[np.where(valid, pids, 0)])[valid].sum())
+    )
+    out = np.empty(cap, np.uint8)
+    w = lib.pickle_triples(
+        pids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(nq), ctypes.c_int64(k), ctypes.c_int64(num_pids),
+        text_blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        text_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(cap),
+    )
+    if w < 0:
+        raise ValueError(f"pickle_triples failed: {w}")
+    # ndarray view, not .tobytes(): bytes.join (in TripleSerializer.wrap)
+    # accepts buffer objects, so the only copy is the final payload join
+    return out[:w]
 
 
 def balanced_assign(candidates: np.ndarray, num_lists: int, cap: int) -> np.ndarray:

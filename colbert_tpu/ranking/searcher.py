@@ -55,6 +55,20 @@ class SearchResult:
     scores: np.ndarray  # (B, topk) fp32
 
 
+class _PendingResult:
+    """Lazy (scores, pids) pair: unpacking blocks on a background future.
+
+    Lets :meth:`ColbertSearcher.search_tokens_device` keep its contract
+    ("returns a (scores, pids) handle that synchronizes on fetch") for modes
+    whose mid-pipeline work runs on a worker thread (host-RAM rerank table)."""
+
+    def __init__(self, future):
+        self._future = future
+
+    def __iter__(self):
+        return iter(self._future.result())
+
+
 def _meta_d_view(meta: dict, cfg: ColbertConfig) -> int:
     """The index's stored rows-per-doc, validated against the serving config.
 
@@ -352,6 +366,7 @@ class ColbertSearcher:
         # compiled-fn cache so a key races to ONE jit wrapper (jax dispatch
         # itself is thread-safe)
         self._fns_lock = threading.Lock()
+        self._host_executor = None  # lazy; host-table async path only
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.data, cfg.mesh.model)
         self.model = ColbertModel(cfg.model, cfg.multiview)
         self.params = jax.device_put(params, param_shardings(params, self.mesh))
@@ -551,19 +566,33 @@ class ColbertSearcher:
 
     def _make_flat_fn(self, topk: int):
         """Exact serving: encode -> stream-scan the whole table -> top-k."""
-        from colbert_tpu.ops.flat_scan import flat_maxsim_scan, flat_topk
+        from colbert_tpu.ops.flat_scan import (
+            flat_maxsim_scan, flat_scan_topk, flat_topk,
+        )
 
         model = self.model
         dv = self.flat_dv
         num_docs = self.num_docs
-        segment = self.cfg.serve.flat_segment_docs
-        rows_blk = self.cfg.serve.flat_rows_block
+        s = self.cfg.serve
+        segment = s.flat_segment_docs
+        rows_blk = s.flat_rows_block
+        fused = s.flat_fused_topk
+        score_dtype = s.flat_score_dtype
+        if score_dtype == "auto":
+            # fp32 scores below 256k docs (tie-exact at negligible memory);
+            # bf16 above (halves the score matrix — the 1M-doc envelope cap)
+            score_dtype = "float32" if num_docs <= (1 << 18) else "bfloat16"
 
         def fn(params, table, inv, q_ids, q_attn, q_active):
             Q = model.apply({"params": params}, q_ids, q_attn, method=model.query)
             Qm = Q * q_active.astype(Q.dtype)[..., None]
             if inv is not None:
                 Qm = Qm * inv
+            if fused:
+                return flat_scan_topk(
+                    Qm.astype(jnp.float32), table, dv=dv, num_docs=num_docs,
+                    topk=topk, rows_blk=rows_blk, score_dtype=score_dtype,
+                )
             scores = flat_maxsim_scan(
                 Qm.astype(jnp.float32), table, dv=dv, rows_blk=rows_blk
             )
@@ -715,32 +744,32 @@ class ColbertSearcher:
 
         return jax.jit(fn)
 
-    def _search_tokens_host(self, q_ids, q_attn, q_active, topk, nprobe, depth,
-                            max_cand, query_chunk) -> SearchResult:
-        """Host-streamed rerank: device candidates -> host int8 gather ->
-        device exact MaxSim.  The candidate funnel (dedup output is ranked
-        desc by approx-MaxSim) bounds host->device traffic to
-        ``host_rerank_candidates * d_view * dim`` int8 bytes per query —
-        the reference's host-RAM table (colbert_ranker.py:61-73) with a
-        PLAID-style funnel instead of a full-depth gather."""
-        s = self.cfg.serve
-        hc = max(topk, min(s.host_rerank_candidates, max_cand, self.num_docs))
+    def _host_candidates(self, q_ids, q_attn, q_active, topk, nprobe, depth,
+                         max_cand, query_chunk):
+        """Dispatch the on-device candidate funnel (async — device arrays are
+        returned without synchronizing)."""
         key = ("host-cand", nprobe, depth, self.max_list_len, max_cand, query_chunk)
-        if key not in self._search_fns:
-            self._search_fns[key] = self._make_search_fn(
-                topk, nprobe, depth, self.max_list_len, max_cand, query_chunk,
-                stop_stage="candidates",
-            )
-        rkey = ("host-rerank", topk)
-        if rkey not in self._search_fns:
-            self._search_fns[rkey] = self._host_rerank_fn(topk)
-        inv = self.emb_inv_scale
+        with self._fns_lock:
+            if key not in self._search_fns:
+                self._search_fns[key] = self._make_search_fn(
+                    topk, nprobe, depth, self.max_list_len, max_cand, query_chunk,
+                    stop_stage="candidates",
+                )
+            rkey = ("host-rerank", topk)
+            if rkey not in self._search_fns:
+                self._search_fns[rkey] = self._host_rerank_fn(topk)
+        _, cand, Qm, qm = self._search_fns[key](
+            self.params, self.coarse, self._quant, self.codes, self.offsets,
+            self.pid_by_row, self.emb_table, self.emb_inv_scale, self.doc_offsets,
+            self.doclens,
+            jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active),
+        )
+        return cand, Qm, qm
+
+    def _host_finish(self, cand, Qm, qm, topk, hc):
+        """Synchronize candidates, gather their doc blocks from the host-RAM
+        table, dispatch the exact device re-rank.  Returns DEVICE arrays."""
         with self.timers.span("host_candidates"):
-            _, cand, Qm, qm = self._search_fns[key](
-                self.params, self.coarse, self._quant, self.codes, self.offsets,
-                self.pid_by_row, self.emb_table, inv, self.doc_offsets, self.doclens,
-                jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active),
-            )
             cand_np = np.asarray(cand)[:, :hc]
         with self.timers.span("host_gather"):
             # pid-sorted gather for host memory locality; order is irrelevant
@@ -761,10 +790,26 @@ class ColbertSearcher:
             dl = self.host_doclens[safe]
             blocks = blocks.reshape(cand_np.shape[0], hc, -1)
         with self.timers.span("host_rerank"):
-            ts, tp = self._search_fns[rkey](
-                Qm, qm, inv, jnp.asarray(cand_sorted), jnp.asarray(dl),
-                jnp.asarray(blocks),
+            ts, tp = self._search_fns[("host-rerank", topk)](
+                Qm, qm, self.emb_inv_scale, jnp.asarray(cand_sorted),
+                jnp.asarray(dl), jnp.asarray(blocks),
             )
+        return ts, tp
+
+    def _search_tokens_host(self, q_ids, q_attn, q_active, topk, nprobe, depth,
+                            max_cand, query_chunk) -> SearchResult:
+        """Host-streamed rerank: device candidates -> host int8 gather ->
+        device exact MaxSim.  The candidate funnel (dedup output is ranked
+        desc by approx-MaxSim) bounds host->device traffic to
+        ``host_rerank_candidates * d_view * dim`` int8 bytes per query —
+        the reference's host-RAM table (colbert_ranker.py:61-73) with a
+        PLAID-style funnel instead of a full-depth gather."""
+        s = self.cfg.serve
+        hc = max(topk, min(s.host_rerank_candidates, max_cand, self.num_docs))
+        cand, Qm, qm = self._host_candidates(
+            q_ids, q_attn, q_active, topk, nprobe, depth, max_cand, query_chunk
+        )
+        ts, tp = self._host_finish(cand, Qm, qm, topk, hc)
         return SearchResult(np.asarray(tp), np.asarray(ts))
 
     def search_tokens_device(self, q_ids, q_attn, q_active, topk=None, nprobe=None,
@@ -780,10 +825,34 @@ class ColbertSearcher:
                 q_ids, q_attn, q_active, topk or self.cfg.serve.topk
             )
         if self.host_table is not None:
-            raise ValueError(
-                "search_tokens_device is the device-resident async path; "
-                "rerank_table='host' serves through search_tokens"
+            # double-buffered beyond-HBM path: the candidate funnel for this
+            # batch is dispatched NOW (async); the mid-pipeline host gather +
+            # rerank dispatch run on a dedicated worker thread, so batch i's
+            # host `take` overlaps batch i+1's device probe (the pinned-buffer
+            # overlap intent of the reference, colbert_ranker.py:53-59)
+            s = self.cfg.serve
+            topk = topk or s.topk
+            nprobe = min(nprobe or s.nprobe, int(self.coarse.shape[0]))
+            depth = depth or s.candidate_depth
+            max_cand = min(s.max_candidates, self.num_docs)
+            hc = max(topk, min(s.host_rerank_candidates, max_cand, self.num_docs))
+            cand, Qm, qm = self._host_candidates(
+                q_ids, q_attn, q_active, topk, nprobe, depth, max_cand, query_chunk
             )
+            with self._fns_lock:
+                if self._host_executor is None:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    # ONE worker: host gathers from concurrent batches
+                    # serialize (they contend for the same memory bandwidth
+                    # anyway) while the main thread keeps dispatching probes
+                    self._host_executor = ThreadPoolExecutor(
+                        max_workers=1, thread_name_prefix="host-rerank"
+                    )
+            fut = self._host_executor.submit(
+                self._host_finish, cand, Qm, qm, topk, hc
+            )
+            return _PendingResult(fut)
         s = self.cfg.serve
         topk = topk or s.topk
         nprobe = min(nprobe or s.nprobe, int(self.coarse.shape[0]))

@@ -14,6 +14,7 @@ per-shard stacked arrays (padded to equal sizes so the stack shards evenly).
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -110,6 +111,9 @@ class ShardedColbertSearcher:
     ):
         self.cfg = cfg
         self.tok = tokenizer
+        # per-connection server threads share one searcher: serialize
+        # compiled-fn cache inserts (mirrors ColbertSearcher._fns_lock)
+        self._fns_lock = threading.Lock()
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh.data, cfg.mesh.model)
         self.n_shards = self.mesh.shape[AXES.data]
         self.model = ColbertModel(cfg.model, cfg.multiview)
@@ -389,8 +393,9 @@ class ShardedColbertSearcher:
         )
         if self.flat_dv is not None:
             key = ("flat", topk)
-            if key not in self._fns:
-                self._fns[key] = self._make_flat_fn(topk)
+            with self._fns_lock:
+                if key not in self._fns:
+                    self._fns[key] = self._make_flat_fn(topk)
             return self._fns[key](
                 self.params, self.arrays,
                 (jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active)),
@@ -401,8 +406,9 @@ class ShardedColbertSearcher:
         cap = self.max_list_len
         max_cand = min(s.max_candidates, self.num_docs)
         key = (topk, nprobe, depth, cap, max_cand, query_chunk)
-        if key not in self._fns:
-            self._fns[key] = self._make_fn(*key)
+        with self._fns_lock:
+            if key not in self._fns:
+                self._fns[key] = self._make_fn(*key)
         return self._fns[key](
             self.params, self.coarse, self.quant, self.arrays,
             (jnp.asarray(q_ids), jnp.asarray(q_attn), jnp.asarray(q_active)), inv,

@@ -91,8 +91,17 @@ class CETrainer:
                 # retriever's top candidates WITH teacher scores, positive
                 # at column 0 — KL target + NLL anchor share one layout
                 win = [(float(s), x) for s, x in ex["res_scored"][: c.distill_group]]
+                if not win:
+                    raise ValueError(
+                        f"CE distill example has empty res_scored: "
+                        f"question={ex['question']!r} (produce data with "
+                        f"gen_distill_data / mine --distill-out)"
+                    )
                 while len(win) < c.distill_group:
-                    win.append(win[-1])
+                    # pad with a huge-negative teacher score so the teacher
+                    # softmax puts ~0 mass on the duplicated slot (a real-score
+                    # duplicate would double its KL weight)
+                    win.append((-1e4, win[-1][1]))
                 pairs += [(q, x) for _, x in win]
                 teacher.append([s for s, _ in win])
                 group = c.distill_group

@@ -100,3 +100,47 @@ def test_flat_topk_segmented_matches_direct():
     ts_s2, ti_s2 = flat_topk(s, 300, k, segment=128)
     np.testing.assert_allclose(np.asarray(ts_d2), np.asarray(ts_s2), rtol=1e-6)
     assert int(np.asarray(ti_s2).max()) < 300
+
+
+def test_flat_scan_topk_matches_unfused():
+    """Fused two-stage top-k (round 5): exact agreement with the
+    scan+flat_topk path for the same stored score dtype, across group
+    boundaries and num_docs cutoffs."""
+    from colbert_tpu.ops.flat_scan import flat_scan_topk
+
+    rng = np.random.default_rng(3)
+    B, m, h = 5, 4, 128
+    dv = 4
+    for num_docs, k in ((200, 10), (37, 50), (64, 7)):
+        doclens = np.full(num_docs, dv, np.int64)
+        emb = rng.normal(size=(num_docs * dv, h)).astype(np.float32)
+        Qm = rng.normal(size=(B, m, h)).astype(np.float32)
+        rb = pick_rows_block(dv, 2, target_rows=64)
+        table, _, _ = build_flat_table(emb, doclens, dtype="float32", rows_blk=rb)
+        tbl = jnp.asarray(table, jnp.bfloat16)
+
+        scores = flat_maxsim_scan(jnp.asarray(Qm), tbl, dv=dv, rows_blk=rb)
+        ts_ref, ti_ref = flat_topk(scores, num_docs, k)
+
+        ts, ti = flat_scan_topk(
+            jnp.asarray(Qm), tbl, dv=dv, num_docs=num_docs, topk=k,
+            rows_blk=rb, score_dtype="float32",
+        )
+        np.testing.assert_allclose(np.asarray(ts), np.asarray(ts_ref), rtol=1e-6)
+        # ids can differ only on exact ties
+        agree = (np.asarray(ti) == np.asarray(ti_ref)).mean()
+        assert agree > 0.98, agree
+        assert int(np.asarray(ti).max()) < num_docs
+
+        # bf16-stored scores: self-consistent exactness (every returned score
+        # is the stored score of the returned doc, ranked descending)
+        ts16, ti16 = flat_scan_topk(
+            jnp.asarray(Qm), tbl, dv=dv, num_docs=num_docs, topk=k,
+            rows_blk=rb, score_dtype="bfloat16",
+        )
+        full = np.asarray(scores)[:num_docs].astype(np.float32)
+        full16 = full.astype(jnp.bfloat16).astype(np.float32)
+        for b in range(B):
+            want = np.sort(full16[:, b])[::-1][:k]
+            np.testing.assert_allclose(np.sort(np.asarray(ts16[b]))[::-1], want,
+                                       rtol=1e-6)

@@ -56,3 +56,18 @@ def test_mesh_bounds():
     bounds = [local_shard_bounds(10, s, 4) for s in range(4)]
     assert bounds == [(0, 3), (3, 6), (6, 8), (8, 10)]
     assert bounds[0][0] == 0 and bounds[-1][1] == 10
+
+
+def test_config_coerces_yaml_numeric_strings():
+    """YAML 1.1 parses '1e-3' (no dot) as a string; the loader must coerce
+    numeric strings for float/int fields instead of surfacing a cryptic
+    optax TypeError mid-train."""
+    from colbert_tpu.config import ColbertConfig
+
+    c = ColbertConfig.from_dict(
+        {"train": {"learning_rate": "1e-3", "num_epochs": "5"},
+         "serve": {"nprobe": "64"}}
+    )
+    assert c.train.learning_rate == 1e-3
+    assert c.train.num_epochs == 5
+    assert c.serve.nprobe == 64
