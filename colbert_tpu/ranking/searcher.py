@@ -201,8 +201,16 @@ def retrieval_core(
     token_ids = jnp.repeat(jnp.arange(q_view, dtype=jnp.int32), depth)
     if candidate_ranking == "approx_maxsim":
         kt_bits = int(np.ceil(np.log2(max(2, num_docs * q_view))))
+        # the packed dedup quantizes scores to the 31-kt_bits low bits — fine
+        # when EVERY surviving candidate gets an exact re-rank (membership is
+        # all that matters), but the host-table funnel (stop_stage=
+        # "candidates") re-ranks only the TOP host_rerank_candidates of this
+        # ranking: at 1.4M docs the auto rule left 6-bit scores and recall@100
+        # collapsed to 0.16 (measured round 5).  Funnel consumers get exact
+        # fp32 ranking unless packed is forced.
         use_packed = dedup_impl == "packed" or (
             dedup_impl == "auto"
+            and stop_stage != "candidates"
             and jax.default_backend() not in ("cpu", "gpu")
             and 31 - kt_bits >= 6
         )
