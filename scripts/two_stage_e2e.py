@@ -37,15 +37,16 @@ STAGES = ("data", "train", "eval_base", "mine", "retrain", "eval_mined",
           "train_ce", "eval_ce", "train_ce_distill", "eval_ce_distill")
 
 
-def write_config(workdir: str, on_tpu: bool, mined: bool) -> str:
+def write_config(workdir: str, on_tpu: bool, mined: bool, hidden: int = 256,
+                 layers: int = 4, heads: int = 4) -> str:
     """Pipeline config; ``mined=True`` points checkpoints/index at the
     post-mining copies so both generations stay on disk."""
     import yaml
 
     tag = "2" if mined else ""
     conf = {
-        "model": {"vocab_size": 30592, "hidden_size": 256, "num_layers": 4,
-                  "num_heads": 4, "intermediate_size": 1024,
+        "model": {"vocab_size": 30592, "hidden_size": hidden, "num_layers": layers,
+                  "num_heads": heads, "intermediate_size": 4 * hidden,
                   "max_position_embeddings": 256, "dim": 128,
                   "dtype": "bfloat16" if on_tpu else "float32",
                   "dropout_impl": "byte", "attention_dropout_site": "output",
@@ -109,6 +110,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--ce-epochs", type=int, default=None)
     ap.add_argument("--ce-lr", type=float, default=None)
+    # retriever capacity ablation (VERDICT r4 item 9b): 6L/384h vs 4L/256h
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--stop-after", default=None, choices=STAGES)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (validation; the image pins "
@@ -135,8 +140,10 @@ def main():
     if start <= STAGES.index("data"):
         build_data(args.workdir, args.max_entries, num_negatives=20,
                    vocab_kind="wordpiece")
-    conf = write_config(args.workdir, on_tpu, mined=False)
-    conf2 = write_config(args.workdir, on_tpu, mined=True)
+    conf = write_config(args.workdir, on_tpu, mined=False,
+                        hidden=args.hidden, layers=args.layers, heads=args.heads)
+    conf2 = write_config(args.workdir, on_tpu, mined=True,
+                         hidden=args.hidden, layers=args.layers, heads=args.heads)
 
     from colbert_tpu.cli import main as cli
 
