@@ -116,6 +116,15 @@ def main():
     ap.add_argument("--nprobe", type=int, default=128)
     ap.add_argument("--depth", type=int, default=512)
     ap.add_argument("--host-candidates", type=int, default=256)
+    ap.add_argument("--max-candidates", type=int, default=4096,
+                    help="post-dedup candidate budget.  The round-5 rerun at "
+                         "defaults measured recall@100 = 0.162 with EITHER "
+                         "dedup: the 4096-candidate budget is 0.3%% of a "
+                         "1.4M-doc corpus — the fixed-knob scaling curve "
+                         "(BENCHLOG round 2) reaches the same place.  Scale "
+                         "budget knobs with the corpus, as the 200k IVF v2 "
+                         "table does (d1024 c8192 -> 0.980).")
+    ap.add_argument("--list-topr", type=int, default=8)
     ap.add_argument("--dedup", default="auto", choices=("auto", "exact", "packed"),
                     help="candidate dedup ranking; 'auto' now resolves to "
                          "exact fp32 for the host funnel (the packed 6-bit "
@@ -160,9 +169,10 @@ def main():
                           partitions=args.partitions,
                           balance_factor=args.balance_factor),
         serve=ServeConfig(nprobe=nprobe, candidate_depth=depth, topk=topk,
-                          max_candidates=4096 if on_tpu else 256,
+                          max_candidates=args.max_candidates if on_tpu else 256,
                           rerank_table="host",
                           host_rerank_candidates=args.host_candidates,
+                          probe_list_topr=args.list_topr,
                           dedup_impl=args.dedup),
         mesh=MeshConfig(data=-1, model=1),
     )
