@@ -66,12 +66,21 @@ def make_synthetic_embeddings(num_docs, d_view, dim, seed=0):
 
 
 def write_synthetic_parts_device(path, num_docs, d_view, dim, seed=0,
-                                 docs_per_part=65536):
+                                 docs_per_part=65536, n_topics=256):
     """TPU-generated synthetic corpus, written as fp16 part files.
 
-    Same structure as :func:`make_synthetic_embeddings` (256-topic mixture +
+    Same structure as :func:`make_synthetic_embeddings` (topic mixture +
     anisotropic spectrum, unit-norm rows) but generated with ``jax.random``
-    on the accelerator and pulled part-by-part.  This bench host's numpy RNG
+    on the accelerator and pulled part-by-part.
+
+    ``n_topics`` controls cluster density (docs per topic ~= num_docs /
+    n_topics).  The original fixed 256 topics makes LARGE corpora
+    degenerate for recall-vs-exact measurement: at 1.4M docs each topic has
+    ~5.5k near-duplicate members whose fp32 rank-order is near-tie noise no
+    64 B/vector codec can reproduce (measured round 5: funnel recall 0.16 at
+    budgets that score 0.94+ at 200k docs, barely moving with 4x budget).
+    Scale n_topics with the corpus (constant density) to keep the recall
+    task comparable across sizes, as real corpora are.  This bench host's numpy RNG
     runs at ~2M gaussians/s — a 1M-doc corpus (12.3B gaussians) would take
     hours on host; on device it is transfer-bound instead (one fp16 pull of
     the corpus).  Not bit-identical to the host generator; each corpus's
@@ -92,7 +101,6 @@ def write_synthetic_parts_device(path, num_docs, d_view, dim, seed=0,
         return storage
     from jax import random as jr
 
-    n_topics = 256
     spectrum = jnp.asarray((1.0 / np.sqrt(1.0 + np.arange(dim))).astype(np.float32))
     key = jr.PRNGKey(seed)
     kt, key = jr.split(key)
@@ -126,7 +134,7 @@ def write_synthetic_parts_device(path, num_docs, d_view, dim, seed=0,
 
 
 def build_synthetic_index(embs, num_docs, d_view, dim, cfg, cache: bool = True,
-                          ivf: bool = True, gen: str = "host"):
+                          ivf: bool = True, gen: str = "host", n_topics: int = 256):
     """``ivf=False`` writes parts+meta only — enough for serve.mode='flat',
     which reads no IVF index (and skips the minutes-long k-means at scale).
     ``gen='device'`` generates the corpus on the accelerator (pass
@@ -142,14 +150,15 @@ def build_synthetic_index(embs, num_docs, d_view, dim, cfg, cache: bool = True,
     # and the synthetic corpus is deterministic per (codec, size, balance)
     tag = (f"{cfg.index.codec}_{num_docs}x{d_view}x{dim}_p{cfg.index.partitions}"
            f"_b{cfg.index.balance_factor}_sq{cfg.index.sq_dim}_m{cfg.index.pq_m}"
-           + ("" if ivf else "_noivf") + ("_dgen" if gen == "device" else ""))
+           + ("" if ivf else "_noivf") + ("_dgen" if gen == "device" else "")
+           + ("" if n_topics == 256 else f"_t{n_topics}"))
     path = f"/tmp/colbert_bench_idx_{tag}"
     storage = IndexStorage(path)
     done_marker = os.path.join(path, "ivf", "offsets.npy") if ivf else os.path.join(path, "meta.json")
     if cache and os.path.exists(done_marker):
         return storage
     if gen == "device":
-        write_synthetic_parts_device(path, num_docs, d_view, dim)
+        write_synthetic_parts_device(path, num_docs, d_view, dim, n_topics=n_topics)
     elif not os.path.exists(os.path.join(path, "meta.json")):
         if embs is None:  # lazy: skip the (slow) host generation on cache hit
             embs = make_synthetic_embeddings(num_docs, d_view, dim)

@@ -106,6 +106,10 @@ def main():
     ap.add_argument("--mode", default="ann", choices=("ann", "flat"),
                     help="flat = exact brute-force MXU scan (no IVF build at "
                          "all; recall 1.0 by construction)")
+    ap.add_argument("--topics", default="auto",
+                    help="'auto' = constant ~80-docs/topic density above "
+                         "200k docs (256 below, matching earlier rows); or "
+                         "an explicit topic count")
     ap.add_argument("--gen", default="host", choices=("host", "device"),
                     help="corpus generation: 'device' = jax.random on the "
                          "accelerator (use above ~200k docs; this bench "
@@ -170,8 +174,19 @@ def main():
 
         cfg = cfg_for(*combos[0])
         t0 = time.time()
+        if args.topics == "auto":
+            # constant cluster density (~80 docs/topic, the 20k-doc bench's
+            # density): a FIXED 256-topic mixture makes recall-vs-exact
+            # degenerate at large corpora — at 1.4M docs each topic holds
+            # ~5.5k near-duplicates whose fp32 rank-order no 64 B codec can
+            # reproduce (measured: 0.16 recall at budgets worth 0.94+ at
+            # 200k).  256 below 200k docs keeps earlier rows comparable.
+            n_topics = 256 if num_docs <= 200_000 else min(65536, num_docs // 80)
+        else:
+            n_topics = int(args.topics)
         storage = build_synthetic_index(None, num_docs, d_view, dim, cfg,
-                                        ivf=(args.mode != "flat"), gen=args.gen)
+                                        ivf=(args.mode != "flat"), gen=args.gen,
+                                        n_topics=n_topics)
         print(f"[{num_docs}] index ready in {time.time()-t0:.0f}s", flush=True)
         if args.mode == "flat":
             lens = np.zeros(1, np.int64)
