@@ -106,6 +106,11 @@ def main():
     ap.add_argument("--mode", default="ann", choices=("ann", "flat"),
                     help="flat = exact brute-force MXU scan (no IVF build at "
                          "all; recall 1.0 by construction)")
+    ap.add_argument("--query-chunk", type=int, default=8,
+                    help="queries per retrieval_core chunk; 4 halves the "
+                         "rerank-gather transient (needed at 500k docs int8: "
+                         "the 6.1 GB table + nprobe-scaled hot-list buffers "
+                         "left the default serve program 1.5 GB over HBM)")
     ap.add_argument("--topics", default="auto",
                     help="'auto' = constant ~80-docs/topic density above "
                          "200k docs (256 below, matching earlier rows); or "
@@ -201,7 +206,7 @@ def main():
         for np_, dp_, r_, mc_ in combos:
             searcher = ColbertSearcher(cfg_for(np_, dp_, r_, mc_), _Tok(), params, storage, mesh=mesh)
             bytes_table = int(searcher.emb_table.nbytes)  # no host transfer
-            kw = dict(topk=topk, nprobe=np_, depth=dp_, query_chunk=8)
+            kw = dict(topk=topk, nprobe=np_, depth=dp_, query_chunk=args.query_chunk)
             res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)  # compile
             res = searcher.search_tokens(q_ids, q_attn, q_active, **kw)
             lat = []
