@@ -248,13 +248,17 @@ def _kernel(qidx_ref, meta_ref, qsT_ref, codes2_ref, out_s_ref, out_r_ref,
         # the kernel's biggest matmul and bf16 runs 4x the f32 MXU rate; the
         # one-hot is exact in bf16 and qs rounding only perturbs candidate
         # scores
-        qid = qidx_ref[0]                                   # (tpl, 1) int32
-        token_iota = jax.lax.broadcasted_iota(jnp.int32, (tpl, t_pad), 1)
-        oh = (qid == token_iota).astype(jnp.bfloat16)       # (tpl, t_pad)
-        # qpackT (sq_dim, tpl): qsT contracted with oh over tokens
+        # qidx rides in as (1, 1, tpl): lanes carry TPL.  The previous
+        # (1, tpl, 1) layout lane-padded 1 -> 128 (the CLAUDE.md landmine) —
+        # an S-slot schedule at K=16384 materialized an 8 GB HLO temp for
+        # 64 MB of real data and OOM'd the 500k-doc serve compile.
+        qid = qidx_ref[0]                                   # (1, tpl) int32
+        token_iota = jax.lax.broadcasted_iota(jnp.int32, (t_pad, tpl), 0)
+        ohT = (qid == token_iota).astype(jnp.bfloat16)      # (t_pad, tpl)
+        # qpackT (sq_dim, tpl): qsT contracted with ohT over tokens
         qpackT = jax.lax.dot_general(
-            qsT_ref[:], oh,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            qsT_ref[:], ohT,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         zeros_band = jnp.zeros((sq_dim, tpl), jnp.float32)
@@ -527,7 +531,9 @@ def sq_batch_list_scan(
         ),
         grid=(S,),
         in_specs=[
-            pl.BlockSpec((1, tpl, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            # (1, 1, tpl): lanes carry TPL — a (1, tpl, 1) block lane-pads
+            # its size-1 minor dim 128x (8 GB at K=16384 slot counts)
+            pl.BlockSpec((1, 1, tpl), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((sq_dim, t_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # codes stay in HBM; manual DMA
@@ -549,7 +555,7 @@ def sq_batch_list_scan(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qidx[:, :, None], meta, qsT, codes2)
+    )(qidx[:, None, :], meta, qsT, codes2)
     return out_s, out_r
 
 
