@@ -333,7 +333,11 @@ T_START = time.perf_counter()
 
 def main():
     tpu = is_tpu()
-    budget_s = float(os.environ.get("COLBERT_BENCH_BUDGET_S", "600"))
+    # 1500 s: the flat headline + 200k scale record land by ~770 s warm
+    # (each emitting a complete superseding JSON record immediately), and
+    # the remaining budget lets the sq/pq4 codecs report too.  Any kill
+    # still leaves the last-emitted record valid.
+    budget_s = float(os.environ.get("COLBERT_BENCH_BUDGET_S", "1500"))
     run_pq = os.environ.get("COLBERT_BENCH_PQ", "0") == "1"
     num_docs = 20000 if tpu else 400
     dim = 768 if tpu else 64
